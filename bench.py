@@ -1,0 +1,156 @@
+"""Benchmark: batched KSS-ICP registration throughput on one TPU chip.
+
+Protocol (the reference's own benchmark shape, Main_KSS_List.cpp:151-179):
+register the bundled data/registration pairs (<name>.gird source onto
+<name>.wlop target), full pipeline per pair — FPS resample to 2000 pts,
+pre-shape align, 512-rotation coarse search, multi-start ICP — batched and
+jitted as one program. Prints ONE JSON line:
+  {"metric": ..., "value": pairs/s/chip, "unit": "pairs/s", "vs_baseline": x}
+
+Baseline: the reference publishes no numbers (BASELINE.md). Its own timers
+put a single pair at ~10 s on a desktop CPU (512 rotations x 2000 serial
+k-d-tree queries + multi-start PCL ICP); we use 0.1 pairs/s as the
+reference baseline estimate — documented in BASELINE.md and revisable.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC = 0.1  # see module docstring
+DATA = Path("/root/reference/PS_AIS_Simplification/data/registration")
+MODELS = ["Bunny", "Cat", "Dog", "Girl", "Horse", "ant", "hand", "woodMan"]
+FULL_PAD = 8192
+REPEAT = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_pairs():
+    from kss_icp_tpu.io.formats import load_points
+
+    pairs = []
+    if DATA.exists():
+        for name in MODELS:
+            g, w = DATA / f"{name}.gird", DATA / f"{name}.wlop"
+            if g.exists() and w.exists():
+                pairs.append((name, load_points(g), load_points(w)))
+    if not pairs:  # fallback: synthetic wavy-surface pairs
+        rng = np.random.default_rng(0)
+        for i in range(8):
+            u = rng.uniform(-1, 1, (5000,))
+            v = rng.uniform(-1, 1, (5000,))
+            tgt = np.stack([u, v, 0.3 * np.sin(3 * u) * np.cos(2 * v)], -1)
+            ang = rng.uniform(0, 2 * np.pi)
+            c, s = np.cos(ang), np.sin(ang)
+            r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            pairs.append((f"synth{i}", tgt @ r.T, tgt))
+    return pairs
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.config import KSSICPConfig
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from kss_icp_tpu.metrics import registration_measure_padded
+    from kss_icp_tpu.models.kss_icp import (
+        register_resampled,
+        resample_for_registration,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    cfg = KSSICPConfig(max_candidates=16)
+    pairs = load_pairs()
+    b = len(pairs)
+    log(f"pairs: {b} -> {[p[0] for p in pairs]}")
+
+    def pad(pts):
+        out = np.zeros((FULL_PAD, 3), np.float32)
+        n = min(len(pts), FULL_PAD)
+        out[:n] = pts[:n]
+        m = np.zeros((FULL_PAD,), bool)
+        m[:n] = True
+        return out, m
+
+    src = np.stack([pad(p[1])[0] for p in pairs])
+    sm = np.stack([pad(p[1])[1] for p in pairs])
+    tgt = np.stack([pad(p[2])[0] for p in pairs])
+    tm = np.stack([pad(p[2])[1] for p in pairs])
+    pnum = np.array(
+        [cfg.resample_count(int(m1.sum()), int(m2.sum())) for m1, m2 in zip(sm, tm)],
+        np.int32,
+    )
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def pipeline(sp, sm_, tp, tm_, pn, cfg):
+        def one(spi, smi, tpi, tmi, pni):
+            rs, rsm = resample_for_registration(spi, smi, pni, cfg)
+            rt, rtm = resample_for_registration(tpi, tmi, pni, cfg)
+            res = register_resampled(rs, rsm, rt, rtm, cfg)
+            return res.transform, res.fitness
+
+        return jax.vmap(one)(sp, sm_, tp, tm_, pn)
+
+    args = tuple(map(jnp.asarray, (src, sm, tgt, tm, pnum)))
+
+    log("compiling...")
+    t0 = time.perf_counter()
+    out = pipeline(*args, cfg)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for i in range(REPEAT):
+        t0 = time.perf_counter()
+        out = pipeline(*args, cfg)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    pairs_per_sec = b / best
+    log(f"times: {[f'{t:.3f}' for t in times]} -> {pairs_per_sec:.2f} pairs/s")
+
+    # Accuracy sanity: full-res RMSE per pair (not timed).
+    transform, fitness = out
+    tr = jax.tree.map(np.asarray, transform)
+    rmses = []
+    for i, (name, s_np, t_np) in enumerate(pairs):
+        from kss_icp_tpu.core.transforms import Similarity
+
+        sim = Similarity(
+            scale=jnp.asarray(tr.scale[i]),
+            rotation=jnp.asarray(tr.rotation[i]),
+            translation=jnp.asarray(tr.translation[i]),
+        )
+        aligned = apply_similarity(sim, jnp.asarray(src[i]))
+        m = registration_measure_padded(
+            aligned, jnp.asarray(sm[i]), jnp.asarray(tgt[i]), jnp.asarray(tm[i])
+        )
+        rmses.append(float(m["rmse"]))
+        log(f"  {name:10s} rmse={rmses[-1]:.5f} fitness={float(fitness[i]):.6f}")
+
+    result = {
+        "metric": "registration_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
+        "batch": b,
+        "median_rmse": round(float(np.median(rmses)), 6),
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,196 @@
+"""Command-line interface.
+
+Mirrors the shipped reference CLI (`KSS-ICP.exe PointSource.ply
+PointTarget.ply` → Registration.xyz + MSE/RMSE/MAE printout,
+EXE/Readme.txt + Main_KSS_ICP.cpp:61-95) and the batch/benchmark driver
+shape of Main_KSS_List.cpp.
+
+    python -m kss_icp_tpu register source.ply target.ply -o out.xyz
+    python -m kss_icp_tpu batch list.txt data_dir/            (per-pair table)
+    python -m kss_icp_tpu measure aligned.xyz target.xyz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _apply_platform(args):
+    """Select the JAX backend. Must go through jax.config (not the env var):
+    environments that pre-register a PJRT plugin at interpreter start latch
+    the platform before user code runs."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _cfg_from_args(args):
+    from kss_icp_tpu.config import KSSICPConfig
+
+    return KSSICPConfig(
+        rotation_steps=args.accurate,
+        max_icp_iterations=args.iterations,
+        max_candidates=args.max_candidates,
+    )
+
+
+def _register(args) -> int:
+    _apply_platform(args)
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from kss_icp_tpu.io.formats import load_points, save_xyz
+    from kss_icp_tpu.metrics import registration_measure
+    from kss_icp_tpu.models.kss_icp import register_pair
+
+    cfg = _cfg_from_args(args)
+    src = load_points(args.source)
+    tgt = load_points(args.target)
+    print(f"loaded source={src.shape[0]} target={tgt.shape[0]} points")
+
+    t0 = time.perf_counter()
+    res = register_pair(src, tgt, cfg)
+    aligned = np.asarray(
+        apply_similarity(res.transform, jnp.asarray(src, jnp.float32))
+    )
+    dt = time.perf_counter() - t0
+
+    m = registration_measure(aligned, tgt.astype(np.float32))
+    print(f"registration time: {dt:.3f}s  (multistart={bool(res.used_multistart)})")
+    print(f"MSE:  {m['mse']:.6g}")
+    print(f"RMSE: {m['rmse']:.6g}")
+    print(f"MAE:  {m['mae']:.6g}")
+    if args.output:
+        save_xyz(args.output, aligned)
+        print(f"saved {args.output}")
+    if args.json:
+        print(json.dumps({"time_s": dt, **m}))
+    return 0
+
+
+def _batch(args) -> int:
+    """Per-model table over a name list — the Main_KSS_List protocol
+    (Main_KSS_List.cpp:151-179): register <name>.gird onto <name>.wlop."""
+    _apply_platform(args)
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from kss_icp_tpu.io.formats import load_points, save_xyz
+    from kss_icp_tpu.metrics import registration_measure
+    from kss_icp_tpu.models.kss_icp import register_pair
+
+    cfg = _cfg_from_args(args)
+    data = Path(args.data_dir)
+    names = [
+        ln.strip() for ln in Path(args.list_file).read_text().splitlines() if ln.strip()
+    ]
+    rows = []
+    for name in names:
+        src = load_points(data / f"{name}{args.source_ext}")
+        tgt = load_points(data / f"{name}{args.target_ext}")
+        t0 = time.perf_counter()
+        res = register_pair(src, tgt, cfg)
+        aligned = np.asarray(
+            apply_similarity(res.transform, jnp.asarray(src, jnp.float32))
+        )
+        dt = time.perf_counter() - t0
+        m = registration_measure(aligned, tgt.astype(np.float32))
+        rows.append((name, dt, m))
+        print(f"{name:12s} time={dt:7.3f}s MSE={m['mse']:.6g} "
+              f"RMSE={m['rmse']:.6g} MAE={m['mae']:.6g}")
+        if args.output_dir:
+            out = Path(args.output_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            save_xyz(out / f"{name}Align.xyz", aligned)
+    if rows:
+        total = sum(r[1] for r in rows)
+        print(f"{'TOTAL':12s} time={total:7.3f}s pairs/sec={len(rows)/total:.3f}")
+    return 0
+
+
+def _measure(args) -> int:
+    _apply_platform(args)
+    from kss_icp_tpu.io.formats import load_points
+    from kss_icp_tpu.metrics import registration_measure
+
+    a = load_points(args.aligned)
+    t = load_points(args.target)
+    m = registration_measure(a, t)
+    print(f"MSE:  {m['mse']:.6g}")
+    print(f"RMSE: {m['rmse']:.6g}")
+    print(f"MAE:  {m['mae']:.6g}")
+    return 0
+
+
+def _resample(args) -> int:
+    _apply_platform(args)
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.cloud import PointCloud
+    from kss_icp_tpu.io.formats import load_points, save_xyz
+    from kss_icp_tpu.ops.resample import fps_points
+
+    pts = load_points(args.input)
+    cloud = PointCloud.from_points(pts)
+    out, mask = fps_points(cloud.points, cloud.mask, args.count)
+    save_xyz(args.output, np.asarray(out)[np.asarray(mask)])
+    print(f"resampled {pts.shape[0]} -> {int(np.asarray(mask).sum())}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="kss_icp_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_common(p):
+        p.add_argument("--accurate", type=int, default=8,
+                       help="rotation grid steps per axis (reference: 8)")
+        p.add_argument("--iterations", type=int, default=1000,
+                       help="max ICP iterations (reference: 1000)")
+        p.add_argument("--max-candidates", type=int, default=32)
+        p.add_argument("--platform", default=None,
+                       help="JAX backend override (cpu, tpu, ...)")
+
+    p = sub.add_parser("register", help="register source onto target")
+    p.add_argument("source")
+    p.add_argument("target")
+    p.add_argument("-o", "--output", default=None, help=".xyz output path")
+    p.add_argument("--json", action="store_true")
+    add_common(p)
+    p.set_defaults(fn=_register)
+
+    p = sub.add_parser("batch", help="register a list of model pairs")
+    p.add_argument("list_file")
+    p.add_argument("data_dir")
+    p.add_argument("--source-ext", default=".gird")
+    p.add_argument("--target-ext", default=".wlop")
+    p.add_argument("--output-dir", default=None)
+    add_common(p)
+    p.set_defaults(fn=_batch)
+
+    p = sub.add_parser("measure", help="MSE/RMSE/MAE of aligned vs target")
+    p.add_argument("aligned")
+    p.add_argument("target")
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=_measure)
+
+    p = sub.add_parser("resample", help="FPS-resample a cloud to N points")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-n", "--count", type=int, default=2000)
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=_resample)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

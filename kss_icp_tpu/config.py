@@ -1,0 +1,70 @@
+"""Typed configuration for the registration pipeline.
+
+Carries exactly the reference's knobs with the reference's defaults
+(reference: Main_KSS_ICP.cpp:80-81, KSS_ICP.hpp:57-66,99,156-159,
+initRegistrationKSS.hpp:35,245-252), plus TPU-specific controls
+(padding, candidate cap, chunk sizes) that have no reference analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class KSSICPConfig:
+    """All pipeline knobs. Frozen + hashable so it can be a jit static arg."""
+
+    # --- Rotation-grid coarse search (initRegistrationKSS.hpp) ---
+    # Euler angles per axis sweep [0, angle_span) in `rotation_steps` steps.
+    # The reference sweeps to 6.3 (≈2π + 0.017) — reproduced verbatim so grid
+    # values match (initRegistrationKSS.hpp:245-252).
+    rotation_steps: int = 8          # "accurate" param; 8 ⇒ 8^3 = 512 rotations
+    angle_span: float = 6.3
+    kernel_radius: int = 2           # local-minima cube radius (initRegistrationKSS.hpp:35)
+    max_candidates: int = 32         # cap on multi-start local minima (reference: unbounded)
+
+    # --- Resampling (KSS_ICP.hpp:57-66) ---
+    # Working size = min(|S|,|T|)//2 clamped to max_resample_points.
+    max_resample_points: int = 2000
+    resample_pad: int = 2048         # static padded size of resampled clouds (lane-aligned)
+
+    # --- ICP refinement (KSS_ICP.hpp:156-159, Main_KSS_ICP.cpp:81) ---
+    max_icp_iterations: int = 1000
+    max_correspondence_distance: float = 1.0
+    transformation_epsilon: float = 1e-10   # squared translation-delta threshold (PCL semantics)
+    rotation_epsilon: float = 1e-10         # 1 - cos(theta_delta) threshold (PCL pairs it with the above)
+    # MSE-delta convergence gate. PCL treats euclideanFitnessEpsilon as an
+    # ABSOLUTE per-step MSE delta, which on unit-scale clouds fires after ~3
+    # iterations and freezes ICP far from the optimum (measured: RMSE 0.063
+    # vs 0.0001). Deliberate fix (SURVEY.md §7 "quirks to decide on"): default
+    # to a RELATIVE delta |mse - prev| / mse < eps; set
+    # fitness_epsilon_mode="absolute" for strict PCL parity.
+    euclidean_fitness_epsilon: float = 0.001
+    fitness_epsilon_mode: str = "relative"  # "relative" | "absolute"
+    multistart_fitness_gate: float = 0.0005   # skip multi-start if judge fitness <= gate (KSS_ICP.hpp:99)
+
+    # --- Numerics / memory (TPU-specific; no reference analogue) ---
+    dtype: str = "float32"
+    rotation_chunk: int = 64         # rotations scored per lax.map step
+    nn_query_chunk: int = 4096       # query rows per NN chunk for big clouds
+    use_pallas_nn: bool = False      # route 1-NN through the Pallas tiled kernel
+
+    @property
+    def num_rotations(self) -> int:
+        return self.rotation_steps ** 3
+
+    def resample_count(self, n_source: int, n_target: int) -> int:
+        """Working point count: min(|S|,|T|)//2 clamped (KSS_ICP.hpp:57-66)."""
+        n = min(n_source, n_target) // 2
+        return max(1, min(n, self.max_resample_points))
+
+    def padded_size(self, n: int, multiple: int = 256) -> int:
+        return _round_up(max(n, multiple), multiple)
+
+
+DEFAULT_CONFIG = KSSICPConfig()

@@ -1,0 +1,213 @@
+"""Point-cloud file I/O.
+
+Covers every format the reference touches:
+  - PLY ascii (PlyLoad.cpp:10-172) plus binary little-endian (an upgrade);
+  - OFF meshes (LoadPointCloud.hpp:146-207);
+  - OBJ vertices (LoadPointCloud.hpp:56-70 via GLM);
+  - "count format" text clouds — first line N, then one point per line —
+    used by .xyz/.gird/.wlop/.txt fixtures (LoadPointCloud.hpp:108-144) and
+    .normal caches (normalCompute.hpp:405-435);
+  - .xyz writer (Main_KSS_ICP.cpp:49-59). Deliberate fix vs. the reference:
+    we truncate instead of ios::app (the reference appends, duplicating data
+    on re-runs — flagged in SURVEY.md §5.4).
+
+A native C++ fast-path parser lives in kss_icp_tpu/native; these Python
+readers are the always-available fallback and the semantics oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+
+PathLike = Union[str, Path]
+
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def load_points(path: PathLike) -> np.ndarray:
+    """Load (N, 3) float64 points, dispatching on extension.
+
+    .gird/.wlop/.xyz/.txt → count format; .ply/.off/.obj → mesh formats.
+    """
+    p = Path(path)
+    ext = p.suffix.lower()
+    if ext == ".ply":
+        return load_ply(p)
+    if ext == ".off":
+        return load_off(p)
+    if ext == ".obj":
+        return load_obj(p)
+    return load_xyz(p)
+
+
+def load_xyz(path: PathLike) -> np.ndarray:
+    """Count-format or plain whitespace text cloud; first 3 columns used."""
+    with open(path, "r") as f:
+        first = f.readline().split()
+        rest = f.read()
+    count = None
+    prefix = np.zeros((0, 3))
+    if len(first) == 1:
+        count = int(float(first[0]))
+    elif first:
+        prefix = np.array([[float(v) for v in first[:3]]])
+    data = np.array(rest.split(), dtype=np.float64)
+    ncols = len(first) if prefix.size else (6 if count and data.size == 6 * count else 3)
+    if data.size % ncols != 0:
+        # Fall back: infer from divisibility.
+        ncols = 3 if data.size % 3 == 0 else 6
+    pts = data.reshape(-1, ncols)[:, :3]
+    pts = np.concatenate([prefix, pts], axis=0)
+    if count is not None:
+        pts = pts[:count]
+    return np.ascontiguousarray(pts, dtype=np.float64)
+
+
+def load_normals(path: PathLike) -> np.ndarray:
+    """A .normal cache: count line then one normal per line."""
+    return load_xyz(path)
+
+
+def load_off(path: PathLike) -> np.ndarray:
+    """OFF mesh vertices (faces ignored — the reference registers points)."""
+    with open(path, "r") as f:
+        tokens = f.read().split()
+    i = 0
+    if tokens[i].upper().startswith("OFF"):
+        i += 1
+    nv, nf = int(tokens[i]), int(tokens[i + 1])
+    i += 3  # skip edge count
+    vals = np.array(tokens[i : i + 3 * nv], dtype=np.float64)
+    del nf
+    return vals.reshape(nv, 3)
+
+
+def load_obj(path: PathLike) -> np.ndarray:
+    """OBJ 'v' lines only."""
+    pts = []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                pts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return np.asarray(pts, dtype=np.float64)
+
+
+def load_ply(path: PathLike) -> np.ndarray:
+    """PLY vertex x/y/z. Handles ascii and binary_little_endian."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise ValueError(f"{path}: not a PLY file (no end_header)")
+    header_end = data.find(b"\n", header_end) + 1
+    header = data[:header_end].decode("ascii", errors="replace").splitlines()
+
+    fmt = "ascii"
+    elements = []  # list of (name, count, [(prop_name, dtype | list-marker)])
+    cur = None
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            cur = {"name": parts[1], "count": int(parts[2]), "props": []}
+            elements.append(cur)
+        elif parts[0] == "property" and cur is not None:
+            if parts[1] == "list":
+                cur["props"].append(("list", parts[2], parts[3], parts[4]))
+            else:
+                cur["props"].append(("scalar", parts[1], parts[2]))
+
+    vertex = next((e for e in elements if e["name"] == "vertex"), None)
+    if vertex is None:
+        raise ValueError(f"{path}: no vertex element")
+
+    if fmt == "ascii":
+        body = data[header_end:].decode("ascii", errors="replace").split()
+        n_scalar = sum(1 for p in vertex["props"] if p[0] == "scalar")
+        if any(p[0] == "list" for p in vertex["props"]):
+            raise ValueError("list properties on vertex element unsupported")
+        names = [p[2] for p in vertex["props"]]
+        # Vertex element always comes first in practice; parse its block.
+        nv = vertex["count"]
+        vals = np.array(body[: nv * n_scalar], dtype=np.float64).reshape(nv, n_scalar)
+        ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
+        return np.ascontiguousarray(vals[:, [ix, iy, iz]])
+
+    if fmt != "binary_little_endian":
+        raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    offset = header_end
+    for elem in elements:
+        if elem["name"] == "vertex":
+            fields = []
+            for p in elem["props"]:
+                if p[0] == "list":
+                    raise ValueError("list property on vertex unsupported")
+                fields.append((p[2], "<" + _PLY_TYPES[p[1]]))
+            arr = np.frombuffer(
+                data, dtype=np.dtype(fields), count=elem["count"], offset=offset
+            )
+            out = np.stack(
+                [arr["x"], arr["y"], arr["z"]], axis=-1
+            ).astype(np.float64)
+            return np.ascontiguousarray(out)
+        # Skip a non-vertex element; only fixed-size elements can be skipped
+        # blindly, list elements (faces) require a walk.
+        size = 0
+        has_list = any(p[0] == "list" for p in elem["props"])
+        if has_list:
+            for _ in range(elem["count"]):
+                for p in elem["props"]:
+                    if p[0] == "list":
+                        cdt = np.dtype("<" + _PLY_TYPES[p[1]])
+                        n = int(
+                            np.frombuffer(data, cdt, count=1, offset=offset)[0]
+                        )
+                        offset += cdt.itemsize + n * np.dtype(
+                            "<" + _PLY_TYPES[p[2]]
+                        ).itemsize
+                    else:
+                        offset += np.dtype("<" + _PLY_TYPES[p[1]]).itemsize
+        else:
+            size = sum(np.dtype("<" + _PLY_TYPES[p[1]]).itemsize for p in elem["props"])
+            offset += size * elem["count"]
+    raise ValueError(f"{path}: vertex element not reachable")
+
+
+def save_xyz(path: PathLike, points: np.ndarray) -> None:
+    """Write count-format .xyz (Main_KSS_ICP.cpp:49-59 layout, truncating)."""
+    pts = np.asarray(points, dtype=np.float64)
+    with open(path, "w") as f:
+        f.write(f"{pts.shape[0]}\n")
+        np.savetxt(f, pts, fmt="%.6g")
+
+
+def save_ply(path: PathLike, points: np.ndarray) -> None:
+    """Write a minimal binary_little_endian PLY."""
+    pts = np.ascontiguousarray(np.asarray(points, dtype=np.float32))
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {pts.shape[0]}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(pts.tobytes())

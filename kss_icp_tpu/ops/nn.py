@@ -1,0 +1,126 @@
+"""Brute-force masked nearest-neighbor ops — the TPU replacement for every
+k-d tree in the reference.
+
+The reference funnels all spatial queries through PCL FLANN k-d trees
+(initRegistrationKSS.hpp:224-236 rotation scoring, registrationMeasure.hpp
+metrics, ICP correspondence inside PCL). Tree traversal is a scalar,
+branchy, pointer-chasing workload — the worst case for a TPU. At the
+reference's working sizes (≤2000 points per cloud, ≤~10^5 full-res) a dense
+pairwise-distance matmul on the MXU wins by orders of magnitude:
+|Q|x|R| sq-distances = one rank-3 matmul + row reductions, fully fused by XLA.
+
+All ops are mask-correct: invalid reference rows score +inf, invalid query
+rows are excluded from reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distances between (..., Q, 3) and (..., R, 3).
+
+    Uses ||a||^2 + ||b||^2 - 2 a·b so the inner term is an MXU matmul.
+    Clamped at zero (the expansion can go slightly negative in f32).
+
+    precision=HIGHEST is load-bearing: TPU default matmul precision runs
+    f32 contractions as bf16 passes, whose noise biases the row-min DOWN
+    (min of noisy values) — measured 40% MAE error on bundled pairs. The
+    K=3 contraction is bandwidth-bound anyway, so HIGHEST costs nothing.
+    """
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    ab = jnp.einsum("...qi,...ri->...qr", a, b, precision=jax.lax.Precision.HIGHEST)
+    d2 = a2[..., :, None] + b2[..., None, :] - 2.0 * ab
+    return jnp.maximum(d2, 0.0)
+
+
+def nearest_neighbor(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    *,
+    chunk: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1-NN of each query point among valid reference points.
+
+    Returns (sq_distances (..., Q), indices (..., Q)). Invalid reference
+    points never win (they score +inf). `chunk` splits the query axis to
+    bound the (Q, R) intermediate; with chunking the matmul+min fuse per
+    chunk so HBM never sees the full matrix.
+    """
+    if chunk is None or query.shape[-2] <= chunk:
+        return _nn_once(query, ref, ref_mask)
+
+    q = query.shape[-2]
+    if q % chunk != 0:
+        # Static-shape world: caller pads; fall back to one shot otherwise.
+        return _nn_once(query, ref, ref_mask)
+
+    def body(qc):
+        return _nn_once(qc, ref, ref_mask)
+
+    qs = query.reshape(query.shape[:-2] + (q // chunk, chunk, 3))
+    d2, idx = jax.lax.map(body, jnp.moveaxis(qs, -3, 0))
+    d2 = jnp.moveaxis(d2, 0, -2).reshape(query.shape[:-2] + (q,))
+    idx = jnp.moveaxis(idx, 0, -2).reshape(query.shape[:-2] + (q,))
+    return d2, idx
+
+
+def _nn_once(query, ref, ref_mask):
+    d2 = pairwise_sqdist(query, ref)
+    d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
+    return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1)
+
+
+def masked_mean_nn_distance(
+    query: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean 1-NN *distance* (not squared) over valid query points.
+
+    This is the rotation-grid alignment error `initRegistration_Error_Ave`
+    (initRegistrationKSS.hpp:430-450).
+    """
+    d2, _ = nearest_neighbor(query, ref, ref_mask)
+    d = jnp.sqrt(d2)
+    w = query_mask.astype(d.dtype)
+    return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+
+
+def masked_mean_nn_sqdist(
+    query: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean squared 1-NN distance — PCL's getFitnessScore contract, used for
+    the ICP fitness probe (KSS_ICP.hpp:93,:104,:130)."""
+    d2, _ = nearest_neighbor(query, ref, ref_mask)
+    w = query_mask.astype(d2.dtype)
+    return jnp.sum(d2 * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-NN sq-distances and indices (ascending). Replaces the reference's
+    12-NN radius estimation (ballRegionCompute.hpp:477-530) and 20-NN normal
+    neighborhoods (normalCompute.hpp:324-336)."""
+    d2 = pairwise_sqdist(query, ref)
+    d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
+    neg_d2, idx = jax.lax.top_k(-d2, k)
+    return -neg_d2, idx

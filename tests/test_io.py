@@ -1,0 +1,85 @@
+"""I/O round-trips and bundled-fixture loading."""
+
+import numpy as np
+
+from kss_icp_tpu.io.formats import (
+    load_off,
+    load_ply,
+    load_points,
+    load_xyz,
+    save_ply,
+    save_xyz,
+)
+
+
+def test_xyz_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(50, 3))
+    p = tmp_path / "a.xyz"
+    save_xyz(p, pts)
+    out = load_xyz(p)
+    np.testing.assert_allclose(out, pts, rtol=1e-4, atol=1e-6)
+
+
+def test_save_xyz_truncates_not_appends(tmp_path, rng):
+    """Fix over the reference's ios::app duplicate-append (SURVEY.md §5.4)."""
+    pts = rng.normal(size=(10, 3))
+    p = tmp_path / "b.xyz"
+    save_xyz(p, pts)
+    save_xyz(p, pts)
+    assert load_xyz(p).shape == (10, 3)
+
+
+def test_ply_binary_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(77, 3)).astype(np.float32)
+    p = tmp_path / "c.ply"
+    save_ply(p, pts)
+    out = load_ply(p)
+    np.testing.assert_allclose(out, pts, atol=1e-7)
+
+
+def test_ply_ascii(tmp_path):
+    p = tmp_path / "d.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float confidence\n"
+        "end_header\n"
+        "1 2 3 0.5\n4 5 6 0.7\n"
+    )
+    out = load_ply(p)
+    np.testing.assert_allclose(out, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_off(tmp_path):
+    p = tmp_path / "e.off"
+    p.write_text("OFF\n3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    out = load_off(p)
+    assert out.shape == (3, 3)
+    np.testing.assert_allclose(out[1], [1, 0, 0])
+
+
+def test_obj(tmp_path):
+    p = tmp_path / "f.obj"
+    p.write_text("# comment\nv 1 2 3\nvn 0 0 1\nv 4 5 6\nf 1 2\n")
+    out = load_points(p)
+    np.testing.assert_allclose(out, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_bundled_gird_and_wlop(reference_data_dir):
+    gird = load_points(reference_data_dir / "registration" / "Bunny.gird")
+    assert gird.shape == (2813, 3)  # count recorded in the file header
+    wlop = load_points(reference_data_dir / "registration" / "Bunny.wlop")
+    assert wlop.shape[1] == 3 and wlop.shape[0] >= 4000
+
+
+def test_bundled_off(reference_data_dir):
+    off = load_points(reference_data_dir.parent / "Remesh" / "Advancing" / "Bunnyg.off")
+    assert off.shape == (3951, 3)
+
+
+def test_bundled_normal_cache(reference_data_dir):
+    from kss_icp_tpu.io.formats import load_normals
+
+    n = load_normals(reference_data_dir / "registration" / "Bunny.normal")
+    assert n.shape == (35947, 3)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-2)

@@ -1,0 +1,84 @@
+"""End-to-end registration: recover synthetic similarity transforms
+(the reference's known-transform protocol, SURVEY.md §4.2) and run the
+bundled golden pairs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kss_icp_tpu.config import KSSICPConfig
+from kss_icp_tpu.core.transforms import apply_similarity, euler_xyz_matrix
+from kss_icp_tpu.io.formats import load_points
+from kss_icp_tpu.metrics import registration_measure
+from kss_icp_tpu.models.kss_icp import register_pair
+from helpers import random_cloud
+
+# Small, fast config for synthetic tests.
+FAST = KSSICPConfig(
+    rotation_steps=8,
+    max_candidates=8,
+    max_resample_points=256,
+    resample_pad=256,
+    max_icp_iterations=100,
+    rotation_chunk=64,
+)
+
+
+def _register_and_measure(src, tgt, cfg):
+    res = register_pair(src, tgt, cfg)
+    aligned = np.asarray(
+        apply_similarity(res.transform, jnp.asarray(src, jnp.float32))
+    )
+    return res, registration_measure(aligned, tgt.astype(np.float32))
+
+
+def test_recover_axis_rotation(rng):
+    """The transfer.txt protocol: a pure axis rotation (e.g. 'ant x:1.56')."""
+    tgt = random_cloud(rng, 800)
+    r = np.asarray(euler_xyz_matrix(jnp.array([1.56, 0.0, 0.0])))
+    src = tgt @ r  # rotate target by R^T to make the source
+    res, m = _register_and_measure(src, tgt, FAST)
+    assert m["rmse"] < 0.02, m
+
+
+def test_recover_similarity_transform(rng):
+    """Rotation + scale + translation (registration_scale protocol)."""
+    tgt = random_cloud(rng, 1000)
+    r = np.asarray(euler_xyz_matrix(jnp.array([0.9, 2.2, 0.4])))
+    src = (tgt @ r) * 0.35 + np.array([2.0, -1.0, 3.0])
+    res, m = _register_and_measure(src, tgt, FAST)
+    assert m["rmse"] < 0.02, m
+    # The recovered scale must invert the synthetic shrink.
+    np.testing.assert_allclose(float(res.transform.scale), 1 / 0.35, rtol=0.05)
+
+
+def test_identity_pair_is_near_zero_error(rng):
+    tgt = random_cloud(rng, 500)
+    res, m = _register_and_measure(tgt.copy(), tgt, FAST)
+    assert m["rmse"] < 1e-2, m
+
+
+def test_register_pair_different_sizes(rng):
+    tgt = random_cloud(rng, 900)
+    perm = rng.permutation(900)[:600]
+    r = np.asarray(euler_xyz_matrix(jnp.array([0.0, 1.1, 0.0])))
+    src = tgt[perm] @ r
+    res, m = _register_and_measure(src, tgt, FAST)
+    assert m["rmse"] < 0.05, m
+
+
+@pytest.mark.parametrize("model,axis_angle", [("Bunny", ("x", 1.1)), ("Cat", ("y", 1.56))])
+def test_bundled_golden_pair(reference_data_dir, model, axis_angle):
+    """Golden fixtures: .gird clouds + transfer.txt recorded transforms.
+
+    The .gird/.wlop pairs on disk are *already* related by the recorded
+    synthetic rotation; registering source=.gird onto target=.wlop must
+    bring RMSE well under the cloud radius (reference success list ICP.txt
+    includes Bunny and Cat)."""
+    gird = load_points(reference_data_dir / "registration" / f"{model}.gird")
+    wlop = load_points(reference_data_dir / "registration" / f"{model}.wlop")
+    cfg = KSSICPConfig(max_resample_points=1000, resample_pad=1024,
+                       max_icp_iterations=200, max_candidates=16)
+    res, m = _register_and_measure(gird, wlop, cfg)
+    # Clouds are unit-scale ([-1,1]^3); success = sub-1% RMSE.
+    assert m["rmse"] < 0.05, (model, m)
