@@ -37,12 +37,23 @@ _PLY_TYPES = {
 }
 
 
-def load_points(path: PathLike) -> np.ndarray:
+def load_points(path: PathLike, prefer_native: bool = True) -> np.ndarray:
     """Load (N, 3) float64 points, dispatching on extension.
 
     .gird/.wlop/.xyz/.txt → count format; .ply/.off/.obj → mesh formats.
+    Tries the native C++ parser first (kss_icp_tpu.native); these Python
+    readers are the fallback and semantics oracle.
     """
     p = Path(path)
+    if prefer_native:
+        try:
+            from kss_icp_tpu.native import load_points_native
+
+            out = load_points_native(p)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     ext = p.suffix.lower()
     if ext == ".ply":
         return load_ply(p)
