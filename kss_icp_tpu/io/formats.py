@@ -202,6 +202,147 @@ def load_ply(path: PathLike) -> np.ndarray:
     raise ValueError(f"{path}: vertex element not reachable")
 
 
+class UniformInfo:
+    """Record of a PointCloud_Uniform normalization (LoadPointCloud.hpp:
+    347-427): the AABB-midpoint shift and longest-edge scale that map the
+    cloud into [-1, 1]³, plus the AABB-extreme point indices, so the
+    transform is invertible."""
+
+    __slots__ = ("center", "scale", "border_indices")
+
+    def __init__(self, center: np.ndarray, scale: float, border_indices: np.ndarray):
+        self.center = center
+        self.scale = scale  # the reference's scaleG: longest AABB edge / 2
+        self.border_indices = border_indices  # [minX,minY,minZ,maxX,maxY,maxZ]
+
+    def apply(self, points: np.ndarray) -> np.ndarray:
+        return (np.asarray(points, np.float64) - self.center) / self.scale
+
+    def invert(self, points: np.ndarray) -> np.ndarray:
+        return np.asarray(points, np.float64) * self.scale + self.center
+
+
+def border_indices(points: np.ndarray) -> np.ndarray:
+    """AABB-extreme point indices [minX,minY,minZ,maxX,maxY,maxZ]
+    (pointPipeline_Border, pointPipeline.hpp:105-158)."""
+    pts = np.asarray(points)
+    return np.concatenate([pts.argmin(axis=0), pts.argmax(axis=0)])
+
+
+def uniform_normalize(points: np.ndarray) -> tuple[np.ndarray, UniformInfo]:
+    """PointCloud_Uniform: recenter to the AABB midpoint and scale the longest
+    AABB edge to 2, so the cloud fits [-1, 1]³ (LoadPointCloud.hpp:347-427).
+    Returns (normalized points, invertible record)."""
+    pts = np.asarray(points, dtype=np.float64)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    center = (lo + hi) / 2.0
+    scale = float(max((hi - lo).max() / 2.0, np.finfo(np.float64).tiny))
+    info = UniformInfo(center, scale, border_indices(pts))
+    return info.apply(pts), info
+
+
+def save_normals(path: PathLike, normals: np.ndarray) -> None:
+    """Write a `.normal` cache (count format, normalCompute.hpp:597-612)."""
+    save_xyz(path, normals)
+
+
+# ---------------------------------------------------------------------------
+# Mesh loading (vertices + faces) and format converters
+# ---------------------------------------------------------------------------
+
+def load_mesh(path: PathLike) -> tuple[np.ndarray, np.ndarray]:
+    """Load (vertices (V, 3) f64, triangle faces (F, 3) i64) from OFF or OBJ.
+    Polygons are fan-triangulated. Face-free inputs return an empty face
+    array. (The reference reads faces via GLM glmReadOBJ and the OFF parser
+    at LoadPointCloud.hpp:146-207.)"""
+    p = Path(path)
+    ext = p.suffix.lower()
+    if ext == ".off":
+        return _load_off_mesh(p)
+    if ext == ".obj":
+        return _load_obj_mesh(p)
+    raise ValueError(f"load_mesh: unsupported extension {ext}")
+
+
+def _fan_triangulate(polys) -> np.ndarray:
+    tris = []
+    for poly in polys:
+        for t in range(1, len(poly) - 1):
+            tris.append((poly[0], poly[t], poly[t + 1]))
+    return np.asarray(tris, dtype=np.int64).reshape(-1, 3)
+
+
+def _load_off_mesh(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    tokens = Path(path).read_text().split()
+    i = 1 if tokens[0].upper().startswith("OFF") else 0
+    nv, nf = int(tokens[i]), int(tokens[i + 1])
+    i += 3
+    verts = np.array(tokens[i : i + 3 * nv], dtype=np.float64).reshape(nv, 3)
+    i += 3 * nv
+    polys = []
+    for _ in range(nf):
+        k = int(tokens[i])
+        polys.append([int(t) for t in tokens[i + 1 : i + 1 + k]])
+        i += 1 + k
+    return verts, _fan_triangulate(polys)
+
+
+def _load_obj_mesh(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    verts, polys = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                polys.append(idx)
+    return np.asarray(verts, dtype=np.float64), _fan_triangulate(polys)
+
+
+def save_obj(path: PathLike, vertices: np.ndarray, faces: np.ndarray | None = None) -> None:
+    """Write an OBJ mesh (faces 0-based in, 1-based out)."""
+    with open(path, "w") as f:
+        for v in np.asarray(vertices, np.float64):
+            f.write(f"v {v[0]:.6g} {v[1]:.6g} {v[2]:.6g}\n")
+        if faces is not None:
+            for t in np.asarray(faces, np.int64):
+                f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def save_off(path: PathLike, vertices: np.ndarray, faces: np.ndarray | None = None) -> None:
+    """Write an OFF mesh."""
+    verts = np.asarray(vertices, np.float64)
+    tris = np.zeros((0, 3), np.int64) if faces is None else np.asarray(faces, np.int64)
+    with open(path, "w") as f:
+        f.write(f"OFF\n{verts.shape[0]} {tris.shape[0]} 0\n")
+        for v in verts:
+            f.write(f"{v[0]:.6g} {v[1]:.6g} {v[2]:.6g}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def convert_off_to_obj(src: PathLike, dst: PathLike | None = None, overwrite: bool = False) -> Path:
+    """OFF → OBJ (LoadPointCloud.hpp:209-260 semantics: skip if the output
+    already exists unless overwrite)."""
+    src = Path(src)
+    dst = Path(dst) if dst else src.with_suffix(".obj")
+    if dst.exists() and not overwrite:
+        return dst
+    save_obj(dst, *_load_off_mesh(src))
+    return dst
+
+
+def convert_obj_to_off(src: PathLike, dst: PathLike | None = None, overwrite: bool = False) -> Path:
+    """OBJ → OFF (LoadPointCloud.hpp:262-311 semantics)."""
+    src = Path(src)
+    dst = Path(dst) if dst else src.with_suffix(".off")
+    if dst.exists() and not overwrite:
+        return dst
+    save_off(dst, *_load_obj_mesh(src))
+    return dst
+
+
 def save_xyz(path: PathLike, points: np.ndarray) -> None:
     """Write count-format .xyz (Main_KSS_ICP.cpp:49-59 layout, truncating)."""
     pts = np.asarray(points, dtype=np.float64)
