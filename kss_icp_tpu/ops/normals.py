@@ -107,3 +107,75 @@ def estimate_oriented_normals(
     """estimateNormal_PCL_MP + RegularNormal equivalent in one call."""
     n = estimate_normals(points, mask, k)
     return orient_normals(points, n, mask, k_orient)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-based normals (normalCompute.hpp:34-306) and normal-error metrics
+# (:439-564) — evaluation-path capabilities, batched instead of per-face loops.
+# ---------------------------------------------------------------------------
+
+def facet_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Unit face normals (F, 3) from a triangle mesh (glmFacetNormals role)."""
+    vertices = jnp.asarray(vertices)
+    faces = jnp.asarray(faces)
+    a = vertices[faces[:, 0]]
+    cross = jnp.cross(vertices[faces[:, 1]] - a, vertices[faces[:, 2]] - a)
+    n = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+    return cross / jnp.maximum(n, jnp.finfo(vertices.dtype).tiny)
+
+
+def vertex_normals_from_mesh(
+    vertices: jnp.ndarray,
+    faces: jnp.ndarray,
+    area_weighted: bool = True,
+) -> jnp.ndarray:
+    """Per-vertex normals from incident faces.
+
+    area_weighted=True is the reference's area-weighted variant
+    (normalCompute.hpp:150-306): the raw cross product is proportional to
+    twice the triangle area, so summing unnormalized crosses applies the
+    weights for free. The plain variant (:34-147) sums unit face normals.
+    Vertices with no incident face get [0, 0, 0] — the reference's "single
+    point" convention its error metrics skip (:459-463)."""
+    vertices = jnp.asarray(vertices)
+    faces = jnp.asarray(faces)
+    v = vertices.shape[0]
+    a = vertices[faces[:, 0]]
+    cross = jnp.cross(vertices[faces[:, 1]] - a, vertices[faces[:, 2]] - a)
+    contrib = cross if area_weighted else facet_normals(vertices, faces)
+    acc = jnp.zeros((v, 3), vertices.dtype)
+    for corner in range(3):
+        acc = acc.at[faces[:, corner]].add(contrib)
+    norms = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return jnp.where(
+        norms > 0, acc / jnp.maximum(norms, jnp.finfo(vertices.dtype).tiny), 0.0
+    )
+
+
+def normal_angle_errors(
+    estimated: jnp.ndarray, reference: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point sign-invariant angle error in radians plus a validity mask.
+
+    Mirrors max/aveErrorNormalMeasure (normalCompute.hpp:439-564): the angle
+    is min(∠(n1, n2), ∠(n1, −n2)) with the cosine clamped to [−1, 1]; rows
+    where either normal is exactly zero are "single points", excluded from
+    the reductions (the reference counts and skips them)."""
+    n1 = jnp.asarray(estimated)
+    n2 = jnp.asarray(reference)
+    valid = (jnp.sum(n1 * n1, axis=-1) > 0) & (jnp.sum(n2 * n2, axis=-1) > 0)
+    dot = jnp.sum(n1 * n2, axis=-1)
+    den = jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1)
+    h = jnp.clip(dot / jnp.maximum(den, jnp.finfo(n1.dtype).tiny), -1.0, 1.0)
+    angle = jnp.arccos(jnp.abs(h))  # min(acos(h), acos(-h)) == acos(|h|)
+    return angle, valid
+
+
+def normal_error_measure(estimated, reference) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(max error, mean error, excluded 'single point' count) — the pair of
+    reductions the reference prints (normalCompute.hpp:439-564)."""
+    angle, valid = normal_angle_errors(estimated, reference)
+    w = valid.astype(angle.dtype)
+    max_err = jnp.max(jnp.where(valid, angle, -jnp.inf))
+    mean_err = jnp.sum(angle * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return max_err, mean_err, jnp.sum(~valid)
