@@ -145,6 +145,27 @@ def _resample(args) -> int:
     return 0
 
 
+def _view(args) -> int:
+    """Render a registration overlay PNG — the headless "Show Result" window
+    (Main_KSS_ICP.cpp:1-14 viewer mode, View.h)."""
+    from kss_icp_tpu.io.formats import load_points
+    from kss_icp_tpu.viz import Trackball, render_registration
+
+    tb = Trackball()
+    if args.spin:
+        tb.drag(0.0, 0.0, args.spin, args.spin / 2)
+    render_registration(
+        args.output,
+        target=load_points(args.target),
+        source=load_points(args.source) if args.source else None,
+        aligned=load_points(args.aligned) if args.aligned else None,
+        rotation=tb.rotation,
+        size=(args.size, args.size),
+    )
+    print(f"saved {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="kss_icp_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -187,6 +208,16 @@ def main(argv=None) -> int:
     p.add_argument("-n", "--count", type=int, default=2000)
     p.add_argument("--platform", default=None)
     p.set_defaults(fn=_resample)
+
+    p = sub.add_parser("view", help="render a registration overlay PNG")
+    p.add_argument("target")
+    p.add_argument("-s", "--source", default=None)
+    p.add_argument("-a", "--aligned", default=None)
+    p.add_argument("-o", "--output", default="view.png")
+    p.add_argument("--size", type=int, default=800)
+    p.add_argument("--spin", type=float, default=0.0,
+                   help="trackball drag magnitude for an off-axis view")
+    p.set_defaults(fn=_view)
 
     args = parser.parse_args(argv)
     return args.fn(args)
