@@ -41,6 +41,16 @@ def _cfg_from_args(args):
     )
 
 
+def _logger_from_args(args):
+    import io
+
+    from kss_icp_tpu.utils.log import JsonlLogger
+
+    sink = getattr(args, "log_json", None)
+    # Default: swallow events unless --log-json is given.
+    return JsonlLogger(sink) if sink else JsonlLogger(io.StringIO())
+
+
 def _register(args) -> int:
     _apply_platform(args)
     import jax.numpy as jnp
@@ -51,18 +61,22 @@ def _register(args) -> int:
     from kss_icp_tpu.models.kss_icp import register_pair
 
     cfg = _cfg_from_args(args)
-    src = load_points(args.source)
-    tgt = load_points(args.target)
+    log = _logger_from_args(args)
+    with log.stage("load", source=str(args.source), target=str(args.target)):
+        src = load_points(args.source)
+        tgt = load_points(args.target)
     print(f"loaded source={src.shape[0]} target={tgt.shape[0]} points")
 
     t0 = time.perf_counter()
-    res = register_pair(src, tgt, cfg)
+    with log.stage("register", n_source=src.shape[0], n_target=tgt.shape[0]):
+        res = register_pair(src, tgt, cfg)
     aligned = np.asarray(
         apply_similarity(res.transform, jnp.asarray(src, jnp.float32))
     )
     dt = time.perf_counter() - t0
 
     m = registration_measure(aligned, tgt.astype(np.float32))
+    log.emit("result", time_s=dt, multistart=bool(res.used_multistart), **m)
     print(f"registration time: {dt:.3f}s  (multistart={bool(res.used_multistart)})")
     print(f"MSE:  {m['mse']:.6g}")
     print(f"RMSE: {m['rmse']:.6g}")
@@ -178,6 +192,8 @@ def main(argv=None) -> int:
         p.add_argument("--max-candidates", type=int, default=32)
         p.add_argument("--platform", default=None,
                        help="JAX backend override (cpu, tpu, ...)")
+        p.add_argument("--log-json", default=None, metavar="FILE",
+                       help="append structured JSON-lines events to FILE")
 
     p = sub.add_parser("register", help="register source onto target")
     p.add_argument("source")

@@ -48,6 +48,20 @@ class KSSICPConfig:
     fitness_epsilon_mode: str = "relative"  # "relative" | "absolute"
     multistart_fitness_gate: float = 0.0005   # skip multi-start if judge fitness <= gate (KSS_ICP.hpp:99)
 
+    # --- Two-phase multi-start (TPU re-design; no reference analogue) ---
+    # The reference runs full ICP on EVERY local-minimum candidate serially
+    # (KSS_ICP.hpp:100-118). Profiling shows that batched full-resolution
+    # multi-start is 94% of pipeline time, driven by the slowest candidate.
+    # "two_phase": screen all candidates with a short ICP on the first
+    # `screen_points` source points (FPS emits points in pick order, so a
+    # prefix IS a uniform subsample), then warm-start only the
+    # `refine_candidates` best (candidate 0 always kept for the fitness
+    # gate) at full resolution. "full" restores the reference protocol.
+    multistart_mode: str = "two_phase"   # "two_phase" | "full"
+    screen_iterations: int = 20
+    screen_points: int = 512
+    refine_candidates: int = 4
+
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
     rotation_chunk: int = 64         # rotations scored per lax.map step

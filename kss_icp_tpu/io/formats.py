@@ -343,9 +343,20 @@ def convert_obj_to_off(src: PathLike, dst: PathLike | None = None, overwrite: bo
     return dst
 
 
-def save_xyz(path: PathLike, points: np.ndarray) -> None:
-    """Write count-format .xyz (Main_KSS_ICP.cpp:49-59 layout, truncating)."""
+def save_xyz(path: PathLike, points: np.ndarray, prefer_native: bool = True) -> None:
+    """Write count-format .xyz (Main_KSS_ICP.cpp:49-59 layout, truncating).
+
+    Routes through the native C++ writer when available (identical %.6g
+    layout); this Python path is the fallback and semantics oracle."""
     pts = np.asarray(points, dtype=np.float64)
+    if prefer_native and pts.ndim == 2 and pts.shape[1] == 3:
+        try:
+            from kss_icp_tpu.native import save_xyz_native
+
+            if save_xyz_native(path, pts):
+                return
+        except Exception:
+            pass
     with open(path, "w") as f:
         f.write(f"{pts.shape[0]}\n")
         np.savetxt(f, pts, fmt="%.6g")

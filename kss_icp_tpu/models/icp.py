@@ -105,11 +105,16 @@ def icp(
     target: jnp.ndarray,
     target_mask: jnp.ndarray,
     params: ICPParams,
+    init_rotation: jnp.ndarray | None = None,
+    init_translation: jnp.ndarray | None = None,
 ) -> ICPResult:
-    """Run ICP from identity; returns the rigid transform source -> target.
+    """Run ICP from identity (or a warm-start transform); returns the rigid
+    transform source -> target.
 
     Vmap over a leading axis of `source`/`source_mask` for batched
-    multi-start (targets broadcast).
+    multi-start (targets broadcast). `init_*` warm-starts the solve — used
+    by the two-phase multi-start to continue a screening-resolution solve at
+    full resolution.
     """
     dtype = source.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
@@ -161,8 +166,8 @@ def icp(
             converged=converged,
         )
 
-    eye = jnp.eye(3, dtype=dtype)
-    zero = jnp.zeros((3,), dtype)
+    eye = jnp.eye(3, dtype=dtype) if init_rotation is None else init_rotation
+    zero = jnp.zeros((3,), dtype) if init_translation is None else init_translation
     init = _ICPState(
         rotation=eye,
         translation=zero,

@@ -94,17 +94,43 @@ def register_resampled(
     r_cand = euler_xyz_matrix(coarse.candidate_angles)  # (K, 3, 3)
     rotated = jnp.einsum("kij,pj->kpi", r_cand, src_aligned, precision=jax.lax.Precision.HIGHEST)
     params = ICPParams.from_config(cfg, dtype)
-    res = jax.vmap(icp, in_axes=(0, None, None, None, None))(
-        rotated, source_mask, target_points, target_mask, params
-    )
 
-    fit = jnp.where(coarse.candidate_mask, res.fitness, _BIG)
-    judge_fitness = fit[0]  # candidate 0 == best grid angle
+    if cfg.multistart_mode == "two_phase":
+        # Screen every candidate with a short, subsampled solve. FPS emits
+        # points in pick order, so the first screen_points rows of the
+        # resampled source are themselves a uniform subsample.
+        p = source_points.shape[0]
+        screen_mask = source_mask & (jnp.arange(p) < cfg.screen_points)
+        screen_params = params._replace(
+            max_iterations=jnp.asarray(cfg.screen_iterations, jnp.int32)
+        )
+        res1 = jax.vmap(icp, in_axes=(0, None, None, None, None))(
+            rotated, screen_mask, target_points, target_mask, screen_params
+        )
+        fit1 = jnp.where(coarse.candidate_mask, res1.fitness, _BIG)
+        # Candidate 0 (the best grid angle) must survive screening: the
+        # fitness gate (KSS_ICP.hpp:99) is defined on it.
+        n_refine = min(cfg.refine_candidates, fit1.shape[0])
+        sel = jnp.argsort(fit1.at[0].set(-jnp.inf))[:n_refine]
+        res = jax.vmap(icp, in_axes=(0, None, None, None, None, 0, 0))(
+            rotated[sel], source_mask, target_points, target_mask, params,
+            res1.rotation[sel], res1.translation[sel],
+        )
+        fit = jnp.where(coarse.candidate_mask[sel], res.fitness, _BIG)
+    else:
+        sel = jnp.arange(coarse.candidate_angles.shape[0])
+        res = jax.vmap(icp, in_axes=(0, None, None, None, None))(
+            rotated, source_mask, target_points, target_mask, params
+        )
+        fit = jnp.where(coarse.candidate_mask, res.fitness, _BIG)
+
+    judge_fitness = fit[0]  # slot 0 == best grid angle in both modes
     use_best = judge_fitness <= cfg.multistart_fitness_gate
-    choice = jnp.where(use_best, 0, jnp.argmin(fit))
+    local = jnp.where(use_best, 0, jnp.argmin(fit))
+    choice = sel[local]
 
     # 5. Compose: full transform = ICP ∘ R_candidate ∘ preshape.
-    icp_sim = Similarity.from_rigid(res.rotation[choice], res.translation[choice])
+    icp_sim = Similarity.from_rigid(res.rotation[local], res.translation[local])
     cand_sim = Similarity.from_rigid(
         r_cand[choice], jnp.zeros((3,), dtype)
     )
@@ -112,11 +138,11 @@ def register_resampled(
 
     return RegistrationResult(
         transform=total,
-        fitness=fit[choice],
+        fitness=fit[local],
         judge_fitness=judge_fitness,
         used_multistart=jnp.logical_not(use_best),
         chosen_candidate=choice,
-        icp_iterations=res.iterations[choice],
+        icp_iterations=res.iterations[local],
         coarse=coarse,
     )
 

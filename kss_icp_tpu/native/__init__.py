@@ -57,6 +57,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.ksstpu_free.restype = None
         lib.ksstpu_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        lib.ksstpu_write_xyz.restype = ctypes.c_int
+        lib.ksstpu_write_xyz.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+        ]
         lib.ksstpu_parse_batch.restype = ctypes.c_int
         lib.ksstpu_parse_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -88,6 +94,22 @@ def load_points_native(path) -> Optional[np.ndarray]:
     finally:
         lib.ksstpu_free(buf)
     return np.ascontiguousarray(arr[:, :3])
+
+
+def save_xyz_native(path, points: np.ndarray) -> bool:
+    """Write a count-format .xyz via the native writer; False = fall back."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ksstpu_write_xyz"):
+        return False
+    pts = np.ascontiguousarray(np.asarray(points, np.float64))
+    if pts.ndim != 2 or pts.shape[1] != 3:
+        return False
+    rc = lib.ksstpu_write_xyz(
+        str(path).encode(),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pts.shape[0],
+    )
+    return rc == 0
 
 
 def load_points_batch(paths: Sequence) -> Optional[List[Optional[np.ndarray]]]:

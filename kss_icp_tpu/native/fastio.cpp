@@ -339,6 +339,23 @@ long ksstpu_parse_points(const char* path, double** out, long* cols) {
 
 void ksstpu_free(double* buf) { free(buf); }
 
+// Write a count-format .xyz ("N\n" then one "x y z" row per point, %.6g,
+// truncating — the deliberate fix of the reference's ios::app duplicate-
+// append, Main_KSS_ICP.cpp:49-59). Returns 0 on success, -1 on I/O error.
+int ksstpu_write_xyz(const char* path, const double* pts, long n) {
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  std::vector<char> buf(1 << 20);
+  setvbuf(f, buf.data(), _IOFBF, buf.size());
+  fprintf(f, "%ld\n", n);
+  for (long i = 0; i < n; ++i) {
+    fprintf(f, "%.6g %.6g %.6g\n", pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]);
+  }
+  int rc = ferror(f) ? -1 : 0;
+  if (fclose(f) != 0) rc = -1;
+  return rc;
+}
+
 // Threaded batch load: paths[i] -> outs[i]/ns[i]/cols[i]. Returns 0 on
 // success (individual failures leave ns[i] = -1).
 int ksstpu_parse_batch(const char** paths, long count, double** outs,

@@ -66,3 +66,25 @@ def test_batch_loader(reference_data_dir):
 
 def test_missing_file_returns_none():
     assert load_points_native("/tmp/does_not_exist_ksstpu.xyz") is None
+
+
+def test_native_writer_roundtrip(tmp_path, rng):
+    from kss_icp_tpu.io.formats import load_points, save_xyz
+    from kss_icp_tpu.native import available, save_xyz_native
+
+    pts = rng.normal(size=(123, 3))
+    p = tmp_path / "out.xyz"
+    save_xyz(p, pts)  # native when available, python otherwise
+    back = load_points(p, prefer_native=False)
+    np.testing.assert_allclose(back, pts, rtol=1e-5, atol=1e-9)  # %.6g ulp
+    assert p.read_text().splitlines()[0] == "123"
+    if available():
+        # Native and python writers must produce identical bytes.
+        p2 = tmp_path / "out2.xyz"
+        assert save_xyz_native(p2, pts)
+        p3 = tmp_path / "out3.xyz"
+        save_xyz(p3, pts, prefer_native=False)
+        assert p2.read_text() == p3.read_text()
+    # Truncation (not append) on rewrite.
+    save_xyz(p, pts[:10])
+    assert load_points(p, prefer_native=False).shape[0] == 10

@@ -82,3 +82,21 @@ def test_bundled_golden_pair(reference_data_dir, model, axis_angle):
     res, m = _register_and_measure(gird, wlop, cfg)
     # Clouds are unit-scale ([-1,1]^3); success = sub-1% RMSE.
     assert m["rmse"] < 0.05, (model, m)
+
+
+def test_two_phase_matches_full_multistart(rng):
+    """The two-phase screen+refine multi-start must land on the same
+    alignment quality as the reference-shaped full multi-start."""
+    import dataclasses
+
+    tgt = random_cloud(rng, 900)
+    r = np.asarray(euler_xyz_matrix(jnp.array([2.8, 0.6, 1.9])))
+    src = (tgt @ r) * 0.6 + 1.0
+    cfg2 = dataclasses.replace(FAST, multistart_mode="two_phase",
+                               screen_points=128, screen_iterations=15,
+                               refine_candidates=4)
+    cfgf = dataclasses.replace(FAST, multistart_mode="full")
+    _, m2 = _register_and_measure(src, tgt, cfg2)
+    _, mf = _register_and_measure(src, tgt, cfgf)
+    assert m2["rmse"] < 0.02, m2
+    assert abs(m2["rmse"] - mf["rmse"]) < 0.01, (m2, mf)
