@@ -61,10 +61,20 @@ class KSSICPConfig:
     screen_iterations: int = 20
     screen_points: int = 512
     refine_candidates: int = 4
+    # Matmul precision of the screening ICP's correspondences (ranking only;
+    # refinement always runs HIGHEST, and the screening fitness itself is
+    # computed at HIGHEST after the loop).
+    screen_precision: str = "high"       # "default" | "high" | "highest"
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
     rotation_chunk: int = 64         # rotations scored per lax.map step
+    # Matmul precision for rotation-grid *scoring* only. The field is used
+    # for ranking (candidates get exact ICP refinement), so bf16-pass noise
+    # that averages over ~2000 points is tolerable: "high" (bf16x3) halves
+    # the MXU passes vs "highest" (f32); "default" (bf16) is 6x. ICP
+    # correspondence and metrics always stay at HIGHEST.
+    coarse_precision: str = "high"   # "default" | "high" | "highest"
     nn_query_chunk: int = 4096       # query rows per NN chunk for big clouds
     use_pallas_nn: bool = False      # route 1-NN through the Pallas tiled kernel
 

@@ -55,7 +55,14 @@ def rotation_grid(steps: int, span: float, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk"))
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@partial(jax.jit, static_argnames=("steps", "chunk", "precision"))
 def score_rotation_field(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -65,6 +72,7 @@ def score_rotation_field(
     steps: int,
     span: float = 6.3,
     chunk: int = 64,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Alignment-error field over the full rotation grid.
 
@@ -79,10 +87,14 @@ def score_rotation_field(
     while total % chunk != 0:
         chunk -= 1
 
+    prec = _PRECISIONS[precision]
+
     def score_chunk(r_chunk):
-        rotated = jnp.einsum("cij,pj->cpi", r_chunk, source, precision=jax.lax.Precision.HIGHEST)
+        rotated = jnp.einsum("cij,pj->cpi", r_chunk, source,
+                             precision=jax.lax.Precision.HIGHEST)
         return masked_mean_nn_distance(
-            rotated, source_mask[None, :], target[None, :, :], target_mask[None, :]
+            rotated, source_mask[None, :], target[None, :, :],
+            target_mask[None, :], precision=prec,
         )
 
     scores = jax.lax.map(score_chunk, rots.reshape(total // chunk, chunk, 3, 3))
@@ -106,7 +118,7 @@ def local_minima_mask(field: jnp.ndarray, radius: int) -> jnp.ndarray:
     return field <= pooled
 
 
-@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk"))
+@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision"))
 def coarse_align(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -118,6 +130,7 @@ def coarse_align(
     radius: int = 2,
     max_candidates: int = 32,
     chunk: int = 64,
+    precision: str = "highest",
 ) -> CoarseResult:
     """Score the grid, extract local minima, rank candidates by error.
 
@@ -128,7 +141,8 @@ def coarse_align(
     rarely more than ~30).
     """
     field = score_rotation_field(
-        source, source_mask, target, target_mask, steps=steps, span=span, chunk=chunk
+        source, source_mask, target, target_mask, steps=steps, span=span,
+        chunk=chunk, precision=precision,
     )
     is_min = local_minima_mask(field, radius)
 

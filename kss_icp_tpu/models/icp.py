@@ -60,25 +60,37 @@ def kabsch(
     source: jnp.ndarray,
     target: jnp.ndarray,
     weights: jnp.ndarray,
+    axis_name: str | None = None,
 ):
     """Weighted rigid Kabsch: argmin_R,t sum w_i ||R s_i + t - t_i||^2.
 
     3x3 SVD with sign correction so R is a proper rotation. This is the
     TPU-side replacement for PCL's TransformationEstimationSVD.
-    Returns (R (3,3), t (3,)).
+
+    With `axis_name` set (inside shard_map over the point axis), all
+    reductions psum across shards — the 3x3 cross-covariance is the
+    Schur-style collective of SURVEY.md §5.8; the SVD itself is tiny and
+    runs replicated. Returns (R (3,3), t (3,)).
     """
     dtype = source.dtype
-    wsum = jnp.maximum(jnp.sum(weights), jnp.finfo(dtype).tiny)
-    w = weights / wsum
-    cs = jnp.einsum("n,ni->i", w, source, precision=jax.lax.Precision.HIGHEST)
-    ct = jnp.einsum("n,ni->i", w, target, precision=jax.lax.Precision.HIGHEST)
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    wsum = jnp.maximum(allsum(jnp.sum(weights)), jnp.finfo(dtype).tiny)
+    cs = allsum(
+        jnp.einsum("n,ni->i", weights, source, precision=jax.lax.Precision.HIGHEST)
+    ) / wsum
+    ct = allsum(
+        jnp.einsum("n,ni->i", weights, target, precision=jax.lax.Precision.HIGHEST)
+    ) / wsum
     s0 = source - cs
     t0 = target - ct
-    # 3x3 cross-covariance — the "Schur-style" reduction that psum's across
-    # chips when the point axis is sharded (see parallel/).
-    h = jnp.einsum(
-        "n,ni,nj->ij", w, s0, t0, precision=jax.lax.Precision.HIGHEST
-    )
+    h = allsum(
+        jnp.einsum(
+            "n,ni,nj->ij", weights, s0, t0, precision=jax.lax.Precision.HIGHEST
+        )
+    ) / wsum
     u, _, vt = jnp.linalg.svd(h, full_matrices=True)
     det = jnp.linalg.det(vt.T @ u.T)
     d = jnp.array([1.0, 1.0, 0.0], dtype) + jnp.array([0.0, 0.0, 1.0], dtype) * det
@@ -98,7 +110,14 @@ class _ICPState(NamedTuple):
     converged: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=())
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@partial(jax.jit, static_argnames=("axis_name", "precision"))
 def icp(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -107,6 +126,8 @@ def icp(
     params: ICPParams,
     init_rotation: jnp.ndarray | None = None,
     init_translation: jnp.ndarray | None = None,
+    axis_name: str | None = None,
+    precision: str = "highest",
 ) -> ICPResult:
     """Run ICP from identity (or a warm-start transform); returns the rigid
     transform source -> target.
@@ -114,30 +135,39 @@ def icp(
     Vmap over a leading axis of `source`/`source_mask` for batched
     multi-start (targets broadcast). `init_*` warm-starts the solve — used
     by the two-phase multi-start to continue a screening-resolution solve at
-    full resolution.
+    full resolution. `axis_name` makes the solve SPMD over a sharded point
+    axis (call inside shard_map with source rows split across devices and
+    the target replicated): every reduction — Kabsch sums, correspondence
+    MSE, fitness — psums over the axis, and the convergence predicates are
+    computed from the psum'ed values so control flow stays uniform.
     """
     dtype = source.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     max_d2 = params.max_correspondence_distance.astype(dtype) ** 2
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def cond(st: _ICPState):
         return jnp.logical_and(
             st.iteration < params.max_iterations, jnp.logical_not(st.converged)
         )
 
+    prec = _PRECISIONS[precision]
+
     def body(st: _ICPState) -> _ICPState:
         cur = source @ st.rotation.T + st.translation
-        d2, idx = nearest_neighbor(cur, target, target_mask)
+        d2, idx = nearest_neighbor(cur, target, target_mask, precision=prec)
         keep = source_mask & (d2 <= max_d2)
         w = keep.astype(dtype)
         corr = target[idx]
         # Delta transform: current positions -> matched targets.
-        dr, dt = kabsch(cur, corr, w)
+        dr, dt = kabsch(cur, corr, w, axis_name)
         new_r = dr @ st.rotation
         new_t = dr @ st.translation + dt
 
-        wsum = jnp.maximum(jnp.sum(w), 1.0)
-        corr_mse = jnp.sum(d2 * w) / wsum
+        wsum = jnp.maximum(allsum(jnp.sum(w)), 1.0)
+        corr_mse = allsum(jnp.sum(d2 * w)) / wsum
 
         # PCL DefaultConvergenceCriteria analogue: small incremental motion
         # (translation^2 AND rotation) or small absolute MSE change.
@@ -183,7 +213,7 @@ def icp(
     aligned = source @ final.rotation.T + final.translation
     d2, _ = nearest_neighbor(aligned, target, target_mask)
     w = source_mask.astype(dtype)
-    fitness = jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+    fitness = allsum(jnp.sum(d2 * w)) / jnp.maximum(allsum(jnp.sum(w)), 1.0)
     return ICPResult(
         rotation=final.rotation,
         translation=final.translation,

@@ -88,6 +88,7 @@ def register_resampled(
         radius=cfg.kernel_radius,
         max_candidates=cfg.max_candidates,
         chunk=cfg.rotation_chunk,
+        precision=cfg.coarse_precision,
     )
 
     # 4. Batched multi-start ICP over all candidate angles at once.
@@ -104,7 +105,8 @@ def register_resampled(
         screen_params = params._replace(
             max_iterations=jnp.asarray(cfg.screen_iterations, jnp.int32)
         )
-        res1 = jax.vmap(icp, in_axes=(0, None, None, None, None))(
+        screen_icp = partial(icp, precision=cfg.screen_precision)
+        res1 = jax.vmap(screen_icp, in_axes=(0, None, None, None, None))(
             rotated, screen_mask, target_points, target_mask, screen_params
         )
         fit1 = jnp.where(coarse.candidate_mask, res1.fitness, _BIG)

@@ -24,20 +24,27 @@ import jax.numpy as jnp
 _BIG = 1e30
 
 
-def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sqdist(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """Squared Euclidean distances between (..., Q, 3) and (..., R, 3).
 
     Uses ||a||^2 + ||b||^2 - 2 a·b so the inner term is an MXU matmul.
     Clamped at zero (the expansion can go slightly negative in f32).
 
-    precision=HIGHEST is load-bearing: TPU default matmul precision runs
-    f32 contractions as bf16 passes, whose noise biases the row-min DOWN
-    (min of noisy values) — measured 40% MAE error on bundled pairs. The
-    K=3 contraction is bandwidth-bound anyway, so HIGHEST costs nothing.
+    precision defaults to HIGHEST and that default is load-bearing wherever
+    exact correspondences matter: TPU default matmul precision runs f32
+    contractions as bf16 passes, whose noise biases the row-min DOWN (min of
+    noisy values) — measured 40% MAE error on bundled pairs. The K=3
+    contraction pads to a full 128-lane MXU pass though, so HIGHEST's 6
+    passes dominate rotation-grid scoring; callers that only need *rankings*
+    (coarse search) may lower it (see KSSICPConfig.coarse_precision).
     """
     a2 = jnp.sum(a * a, axis=-1)
     b2 = jnp.sum(b * b, axis=-1)
-    ab = jnp.einsum("...qi,...ri->...qr", a, b, precision=jax.lax.Precision.HIGHEST)
+    ab = jnp.einsum("...qi,...ri->...qr", a, b, precision=precision)
     d2 = a2[..., :, None] + b2[..., None, :] - 2.0 * ab
     return jnp.maximum(d2, 0.0)
 
@@ -48,24 +55,26 @@ def nearest_neighbor(
     ref_mask: jnp.ndarray,
     *,
     chunk: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """1-NN of each query point among valid reference points.
 
     Returns (sq_distances (..., Q), indices (..., Q)). Invalid reference
     points never win (they score +inf). `chunk` splits the query axis to
     bound the (Q, R) intermediate; with chunking the matmul+min fuse per
-    chunk so HBM never sees the full matrix.
+    chunk so HBM never sees the full matrix. Keep `precision` at HIGHEST
+    wherever the argmin must be exact (see pairwise_sqdist).
     """
     if chunk is None or query.shape[-2] <= chunk:
-        return _nn_once(query, ref, ref_mask)
+        return _nn_once(query, ref, ref_mask, precision)
 
     q = query.shape[-2]
     if q % chunk != 0:
         # Static-shape world: caller pads; fall back to one shot otherwise.
-        return _nn_once(query, ref, ref_mask)
+        return _nn_once(query, ref, ref_mask, precision)
 
     def body(qc):
-        return _nn_once(qc, ref, ref_mask)
+        return _nn_once(qc, ref, ref_mask, precision)
 
     qs = query.reshape(query.shape[:-2] + (q // chunk, chunk, 3))
     d2, idx = jax.lax.map(body, jnp.moveaxis(qs, -3, 0))
@@ -74,8 +83,8 @@ def nearest_neighbor(
     return d2, idx
 
 
-def _nn_once(query, ref, ref_mask):
-    d2 = pairwise_sqdist(query, ref)
+def _nn_once(query, ref, ref_mask, precision=jax.lax.Precision.HIGHEST):
+    d2 = pairwise_sqdist(query, ref, precision=precision)
     d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
     return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1)
 
@@ -85,14 +94,18 @@ def masked_mean_nn_distance(
     query_mask: jnp.ndarray,
     ref: jnp.ndarray,
     ref_mask: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Mean 1-NN *distance* (not squared) over valid query points.
 
     This is the rotation-grid alignment error `initRegistration_Error_Ave`
-    (initRegistrationKSS.hpp:430-450).
+    (initRegistrationKSS.hpp:430-450). Only the min enters the mean (no
+    argmin), so a reduced `precision` trades per-point noise that largely
+    averages out against a 2-6x faster MXU pass.
     """
-    d2, _ = nearest_neighbor(query, ref, ref_mask)
-    d = jnp.sqrt(d2)
+    d2 = pairwise_sqdist(query, ref, precision=precision)
+    d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
+    d = jnp.sqrt(jnp.min(d2, axis=-1))
     w = query_mask.astype(d.dtype)
     return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 

@@ -18,6 +18,27 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def distributed_init(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (jax.distributed) — SURVEY.md §5.8.
+
+    With no arguments, auto-detects the cluster environment (TPU pods set
+    the coordinator via metadata; single-process setups no-op). Safe to call
+    twice."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(axis_names: Sequence[str] = ("pairs",), shape: Sequence[int] | None = None) -> Mesh:
     """Build a Mesh over all available devices.
 
