@@ -159,6 +159,96 @@ def _resample(args) -> int:
     return 0
 
 
+def _simplify(args) -> int:
+    """Cloud simplification front-end — the Method_CGAL / Method_Octree /
+    AIVS tool surface (grid, hierarchy, wlop, octree, aivs, fps)."""
+    _apply_platform(args)
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.cloud import PointCloud
+    from kss_icp_tpu.io.formats import load_points, save_xyz
+
+    pts = load_points(args.input)
+    cloud = PointCloud.from_points(pts)
+    pj, mj = cloud.points, cloud.mask
+
+    if args.method == "fps":
+        from kss_icp_tpu.ops.resample import fps_points
+
+        out, mask = fps_points(pj, mj, args.count)
+    elif args.method == "aivs":
+        from kss_icp_tpu.ops.aivs import aivs_resample
+
+        out, mask = aivs_resample(pj, mj, args.count)
+    elif args.method == "wlop":
+        from kss_icp_tpu.ops.wlop import wlop_resample
+
+        out, mask = wlop_resample(pj, mj, min(args.count, int(cloud.count)))
+    elif args.method == "grid":
+        from kss_icp_tpu.ops.simplify import grid_simplify
+        from kss_icp_tpu.ops.spatial import estimate_radius
+
+        cell = args.cell if args.cell else float(estimate_radius(pj, mj)) / 1.5
+        out, mask = grid_simplify(pj, mj, jnp.asarray(cell, pj.dtype))
+    elif args.method == "hierarchy":
+        from kss_icp_tpu.ops.simplify import hierarchy_simplify
+
+        out, mask = hierarchy_simplify(pj, mj, max_cluster_size=args.cluster_size)
+    else:  # octree
+        from kss_icp_tpu.ops.simplify import octree_simplify
+
+        out, mask = octree_simplify(pj, mj, target_points=args.count)
+
+    result = np.asarray(out)[np.asarray(mask)]
+    save_xyz(args.output, result)
+    print(f"{args.method}: {pts.shape[0]} -> {result.shape[0]} points")
+    return 0
+
+
+def _make_pairs(args) -> int:
+    """Synthetic benchmark-pair generation — the TransferPC driver
+    (transferPC.hpp): resample to .wlop/.gird and perturb by a recorded
+    transform, logging transfer.txt."""
+    _apply_platform(args)
+    from kss_icp_tpu.io.formats import load_points
+    from kss_icp_tpu.transfer import TransferRecord, generate_fixture_set
+
+    clouds, records = [], []
+    for spec in args.cloud:
+        # name=path:axis:angle[:scale[:translation]]
+        name_path, *rest = spec.split(":")
+        name, path = name_path.split("=")
+        axis = rest[0] if rest else "x"
+        angle = float(rest[1]) if len(rest) > 1 else 0.0
+        scale = float(rest[2]) if len(rest) > 2 else 1.0
+        trans = float(rest[3]) if len(rest) > 3 else 0.0
+        clouds.append((name, load_points(path)))
+        records.append(TransferRecord(name, axis, angle, scale, trans))
+    pairs = generate_fixture_set(clouds, records, args.output_dir,
+                                 wlop_points=args.wlop_points)
+    for p in pairs:
+        print(f"{p.name}: wlop={p.target.shape[0]} gird={p.source.shape[0]} "
+              f"({p.record.line()})")
+    return 0
+
+
+def _measure_resample(args) -> int:
+    """Resampling-quality metric — simMeasurement (pointCloudMeasure.hpp)."""
+    _apply_platform(args)
+    from kss_icp_tpu.core.cloud import PointCloud
+    from kss_icp_tpu.io.formats import load_points
+    from kss_icp_tpu.measure_resample import simplification_measure
+
+    original = PointCloud.from_points(load_points(args.original))
+    simplified = PointCloud.from_points(load_points(args.simplified))
+    m = simplification_measure(
+        original.points, original.mask, simplified.points, simplified.mask
+    )
+    for k, v in m.items():
+        print(f"{k}: {float(v):.6g}")
+    return 0
+
+
 def _view(args) -> int:
     """Render a registration overlay PNG — the headless "Show Result" window
     (Main_KSS_ICP.cpp:1-14 viewer mode, View.h)."""
@@ -224,6 +314,34 @@ def main(argv=None) -> int:
     p.add_argument("-n", "--count", type=int, default=2000)
     p.add_argument("--platform", default=None)
     p.set_defaults(fn=_resample)
+
+    p = sub.add_parser("simplify", help="simplify/resample a cloud")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-m", "--method", default="fps",
+                   choices=["fps", "aivs", "wlop", "grid", "hierarchy", "octree"])
+    p.add_argument("-n", "--count", type=int, default=2000)
+    p.add_argument("--cell", type=float, default=None,
+                   help="grid cell size (default: radius/1.5)")
+    p.add_argument("--cluster-size", type=int, default=10)
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=_simplify)
+
+    p = sub.add_parser("make-pairs",
+                       help="generate synthetic benchmark pairs (TransferPC)")
+    p.add_argument("cloud", nargs="+",
+                   help="name=path[:axis:angle[:scale[:translation]]]")
+    p.add_argument("-o", "--output-dir", default="pairs")
+    p.add_argument("--wlop-points", type=int, default=8000)
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=_make_pairs)
+
+    p = sub.add_parser("measure-resample",
+                       help="MLS displacement quality of a simplified cloud")
+    p.add_argument("original")
+    p.add_argument("simplified")
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=_measure_resample)
 
     p = sub.add_parser("view", help="render a registration overlay PNG")
     p.add_argument("target")

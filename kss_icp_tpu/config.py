@@ -76,7 +76,6 @@ class KSSICPConfig:
     # correspondence and metrics always stay at HIGHEST.
     coarse_precision: str = "high"   # "default" | "high" | "highest"
     nn_query_chunk: int = 4096       # query rows per NN chunk for big clouds
-    use_pallas_nn: bool = False      # route 1-NN through the Pallas tiled kernel
 
     @property
     def num_rotations(self) -> int:

@@ -93,18 +93,20 @@ def voxel_downsample(
     dtype = points.dtype
     lo = jnp.min(jnp.where(mask[:, None], points, _BIG), axis=0)
     cell = jnp.maximum(cell_size, jnp.finfo(dtype).tiny)
-    ijk = jnp.floor((points - lo) / cell).astype(jnp.int64)
+    ijk = jnp.floor((points - lo) / cell).astype(jnp.int32)
     ijk = jnp.clip(ijk, 0, 2_000_000)
-    key = (ijk[:, 0] * 2_097_152 + ijk[:, 1]) * 2_097_152 + ijk[:, 2]
-    key = jnp.where(mask, key, jnp.iinfo(jnp.int64).max)  # padding sorts last
 
     center = lo + (ijk.astype(dtype) + 0.5) * cell
     d2c = jnp.sum((points - center) ** 2, axis=-1)
 
-    order = jnp.lexsort((d2c, key))
-    key_sorted = key[order]
+    # Three int32 key columns (no int64 — must run without jax_enable_x64);
+    # padding rows get a sentinel beyond the clip range so they sort last.
+    key = jnp.where(mask[:, None], ijk, 2_100_000)
+    order = jnp.lexsort((d2c, key[:, 2], key[:, 1], key[:, 0]))
+    k_sorted = key[order]
     is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
+        [jnp.ones((1,), bool),
+         jnp.any(k_sorted[1:] != k_sorted[:-1], axis=-1)]
     )
     keep_sorted = is_first & mask[order]
     out_pts = points[order] * keep_sorted[:, None].astype(dtype)
