@@ -59,6 +59,11 @@ def load_pairs():
 
 def main() -> int:
     import jax
+
+    # Persistent compilation cache: the full-pipeline XLA program takes
+    # minutes to compile; cache it across bench runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ksstpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from kss_icp_tpu.config import KSSICPConfig

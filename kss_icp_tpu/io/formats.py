@@ -117,8 +117,32 @@ def load_obj(path: PathLike) -> np.ndarray:
     return np.asarray(pts, dtype=np.float64)
 
 
+def load_ply_vertex_data(path: PathLike) -> dict:
+    """All vertex scalar properties of a PLY as {"points": (N,3), and when
+    present "normals": (N,3), "colors": (N,3)} — the full CPLYLoader surface
+    (PlyLoad.cpp:88-114 parses x y z nx ny nz r g b per vertex)."""
+    pts, props = _load_ply_props(Path(path))
+    out = {"points": pts}
+    names = {p[2] if p[0] == "scalar" else None for p in props["props"]}
+    cols = props["columns"]
+    if {"nx", "ny", "nz"} <= names:
+        out["normals"] = np.stack(
+            [cols["nx"], cols["ny"], cols["nz"]], axis=-1
+        )
+    for keyset in (("red", "green", "blue"), ("r", "g", "b")):
+        if set(keyset) <= names:
+            out["colors"] = np.stack([cols[k] for k in keyset], axis=-1)
+            break
+    return out
+
+
 def load_ply(path: PathLike) -> np.ndarray:
     """PLY vertex x/y/z. Handles ascii and binary_little_endian."""
+    return _load_ply_props(Path(path))[0]
+
+
+def _load_ply_props(path: Path) -> tuple:
+    """Internal: ((N, 3) xyz, {"props": vertex props, "columns": {name: col}})."""
     with open(path, "rb") as f:
         data = f.read()
     header_end = data.find(b"end_header")
@@ -159,7 +183,11 @@ def load_ply(path: PathLike) -> np.ndarray:
         nv = vertex["count"]
         vals = np.array(body[: nv * n_scalar], dtype=np.float64).reshape(nv, n_scalar)
         ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
-        return np.ascontiguousarray(vals[:, [ix, iy, iz]])
+        columns = {n: vals[:, i] for i, n in enumerate(names)}
+        return (
+            np.ascontiguousarray(vals[:, [ix, iy, iz]]),
+            {"props": vertex["props"], "columns": columns},
+        )
 
     if fmt != "binary_little_endian":
         raise ValueError(f"{path}: unsupported PLY format {fmt}")
@@ -178,7 +206,11 @@ def load_ply(path: PathLike) -> np.ndarray:
             out = np.stack(
                 [arr["x"], arr["y"], arr["z"]], axis=-1
             ).astype(np.float64)
-            return np.ascontiguousarray(out)
+            columns = {name: arr[name].astype(np.float64) for name, _ in fields}
+            return (
+                np.ascontiguousarray(out),
+                {"props": elem["props"], "columns": columns},
+            )
         # Skip a non-vertex element; only fixed-size elements can be skipped
         # blindly, list elements (faces) require a walk.
         size = 0

@@ -83,3 +83,35 @@ def test_bundled_normal_cache(reference_data_dir):
     n = load_normals(reference_data_dir / "registration" / "Bunny.normal")
     assert n.shape == (35947, 3)
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-2)
+
+
+def test_load_ply_vertex_data_normals_colors(tmp_path):
+    """Full CPLYLoader surface: x y z nx ny nz r g b per vertex."""
+    from kss_icp_tpu.io.formats import load_ply_vertex_data
+
+    ply = tmp_path / "full.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+        "0 0 0 0 0 1 255 0 0\n"
+        "1 2 3 1 0 0 0 255 0\n"
+    )
+    d = load_ply_vertex_data(ply)
+    np.testing.assert_allclose(d["points"], [[0, 0, 0], [1, 2, 3]])
+    np.testing.assert_allclose(d["normals"], [[0, 0, 1], [1, 0, 0]])
+    np.testing.assert_allclose(d["colors"], [[255, 0, 0], [0, 255, 0]])
+
+
+def test_load_ply_vertex_data_points_only(tmp_path):
+    from kss_icp_tpu.io.formats import load_ply_vertex_data, save_ply
+
+    pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    p = tmp_path / "min.ply"
+    save_ply(p, pts)
+    d = load_ply_vertex_data(p)
+    np.testing.assert_allclose(d["points"], pts, atol=1e-6)
+    assert "normals" not in d and "colors" not in d
