@@ -62,9 +62,14 @@ class KSSICPConfig:
     screen_points: int = 512
     refine_candidates: int = 4
     # Matmul precision of the screening ICP's correspondences (ranking only;
-    # refinement always runs HIGHEST, and the screening fitness itself is
-    # computed at HIGHEST after the loop).
+    # the screening fitness itself is computed at HIGHEST after the loop).
     screen_precision: str = "high"       # "default" | "high" | "highest"
+    # Precision of the refinement ICP's correspondences. bf16x3 ("high")
+    # perturbs a squared distance by ~1e-5 absolute on unit-scale clouds —
+    # an argmin flip needs two references within that margin, where either
+    # choice moves Kabsch equally. Measured identical RMSE on every bundled
+    # golden pair vs "highest"; final fitness is always HIGHEST.
+    icp_precision: str = "highest"
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"

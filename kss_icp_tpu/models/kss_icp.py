@@ -114,14 +114,16 @@ def register_resampled(
         # fitness gate (KSS_ICP.hpp:99) is defined on it.
         n_refine = min(cfg.refine_candidates, fit1.shape[0])
         sel = jnp.argsort(fit1.at[0].set(-jnp.inf))[:n_refine]
-        res = jax.vmap(icp, in_axes=(0, None, None, None, None, 0, 0))(
+        refine_icp = partial(icp, precision=cfg.icp_precision)
+        res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
             rotated[sel], source_mask, target_points, target_mask, params,
             res1.rotation[sel], res1.translation[sel],
         )
         fit = jnp.where(coarse.candidate_mask[sel], res.fitness, _BIG)
     else:
         sel = jnp.arange(coarse.candidate_angles.shape[0])
-        res = jax.vmap(icp, in_axes=(0, None, None, None, None))(
+        full_icp = partial(icp, precision=cfg.icp_precision)
+        res = jax.vmap(full_icp, in_axes=(0, None, None, None, None))(
             rotated, source_mask, target_points, target_mask, params
         )
         fit = jnp.where(coarse.candidate_mask, res.fitness, _BIG)

@@ -100,3 +100,27 @@ def test_two_phase_matches_full_multistart(rng):
     _, mf = _register_and_measure(src, tgt, cfgf)
     assert m2["rmse"] < 0.02, m2
     assert abs(m2["rmse"] - mf["rmse"]) < 0.01, (m2, mf)
+
+
+@pytest.mark.parametrize("model", ["ant", "Cat"])
+def test_bundled_pair_recovers_recorded_rotation(reference_data_dir, model):
+    """The full known-transform protocol on the bundled data: the .gird cloud
+    was perturbed by the rotation recorded in transfer.txt ("ant x:1.56",
+    "Cat y:1.56"); registering it onto the .wlop target must recover the
+    inverse rotation (trace-angle residual < 10 deg)."""
+    from kss_icp_tpu.transfer import axis_rotation_matrix, load_transfer_log
+
+    recs = {r.name: r for r in load_transfer_log(
+        reference_data_dir / "registration" / "transfer.txt")}
+    rec = recs[model]
+    gird = load_points(reference_data_dir / "registration" / f"{model}.gird")
+    wlop = load_points(reference_data_dir / "registration" / f"{model}.wlop")
+    cfg = KSSICPConfig(max_resample_points=1000, resample_pad=1024,
+                       max_icp_iterations=200, max_candidates=16)
+    res = register_pair(gird, wlop, cfg)
+    r_rec = np.asarray(res.transform.rotation, np.float64)
+    resid = r_rec @ axis_rotation_matrix(rec.axis, rec.angle)
+    cos_angle = np.clip((np.trace(resid) - 1.0) / 2.0, -1.0, 1.0)
+    assert np.degrees(np.arccos(cos_angle)) < 10.0, (model, resid)
+    # And the recovered scale is ~1 (pure rotation in the bundled set).
+    np.testing.assert_allclose(float(res.transform.scale), 1.0, rtol=0.05)
