@@ -50,3 +50,55 @@ def register_batch(
         target_points = jax.lax.with_sharding_constraint(target_points, shard)
         target_mask = jax.lax.with_sharding_constraint(target_mask, shard)
     return _vmapped(cfg)(source_points, source_mask, target_points, target_mask)
+
+
+def register_many(
+    pairs,
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+    full_pad: int = 8192,
+):
+    """Host-facing batched sweep: [(source (Ns,3), target (Nt,3)), ...] of
+    raw variable-size numpy clouds -> (RegistrationResult batch, metrics).
+
+    Pads all clouds to one static shape, FPS-resamples each to its
+    reference-rule working size (min(Ns,Nt)//2 capped), registers the whole
+    batch as one jitted program (sharded along "pairs" when a mesh is
+    given), applies each winning transform to its full-resolution source and
+    returns per-pair MSE/RMSE/MAE. This is the Main_KSS_List sweep as a
+    single XLA program."""
+    import numpy as np
+
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from kss_icp_tpu.metrics import registration_measure_padded
+    from kss_icp_tpu.models.kss_icp import resample_for_registration
+
+    def pad(cloud):
+        pts = np.asarray(cloud, np.float32)[:full_pad]
+        out = np.zeros((full_pad, 3), np.float32)
+        out[: len(pts)] = pts
+        m = np.zeros((full_pad,), bool)
+        m[: len(pts)] = True
+        return out, m
+
+    src = [pad(s) for s, _ in pairs]
+    tgt = [pad(t) for _, t in pairs]
+    s_pts = jnp.asarray(np.stack([x[0] for x in src]))
+    s_msk = jnp.asarray(np.stack([x[1] for x in src]))
+    t_pts = jnp.asarray(np.stack([x[0] for x in tgt]))
+    t_msk = jnp.asarray(np.stack([x[1] for x in tgt]))
+    pnum = jnp.asarray(
+        [cfg.resample_count(int(a[1].sum()), int(b[1].sum()))
+         for a, b in zip(src, tgt)]
+    )
+
+    resample = jax.jit(jax.vmap(partial(resample_for_registration, cfg=cfg)))
+    sp, sm = resample(s_pts, s_msk, pnum)
+    tp, tm = resample(t_pts, t_msk, pnum)
+    res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)
+
+    aligned = jax.jit(jax.vmap(apply_similarity))(res.transform, s_pts)
+    metrics = jax.jit(jax.vmap(partial(registration_measure_padded, chunk=None)))(
+        aligned, s_msk, t_pts, t_msk
+    )
+    return res, {k: np.asarray(v) for k, v in metrics.items()}

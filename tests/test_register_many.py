@@ -1,0 +1,39 @@
+"""Host-facing batched sweep API (parallel/batch.register_many)."""
+
+import dataclasses
+
+import numpy as np
+
+from kss_icp_tpu.config import KSSICPConfig
+from kss_icp_tpu.parallel.batch import register_many
+from kss_icp_tpu.parallel.mesh import make_mesh
+from helpers import random_cloud
+
+
+CFG = KSSICPConfig(rotation_steps=8, max_candidates=8,
+                   max_resample_points=256, resample_pad=256,
+                   max_icp_iterations=100, rotation_chunk=64,
+                   screen_points=128)
+
+
+def _pairs(rng, n_pairs=4):
+    pairs = []
+    for i in range(n_pairs):
+        tgt = random_cloud(rng, 400 + 50 * i)
+        ang = 0.3 + 0.2 * i
+        c, s = np.cos(ang), np.sin(ang)
+        r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        pairs.append((tgt @ r.T, tgt))
+    return pairs
+
+
+def test_register_many_variable_sizes(rng):
+    res, metrics = register_many(_pairs(rng), CFG, full_pad=512)
+    assert metrics["rmse"].shape == (4,)
+    assert (metrics["rmse"] < 0.05).all(), metrics["rmse"]
+
+
+def test_register_many_on_mesh(rng):
+    mesh = make_mesh(("pairs",))  # 8 virtual CPU devices
+    res, metrics = register_many(_pairs(rng, 8), CFG, mesh=mesh, full_pad=512)
+    assert (metrics["rmse"] < 0.06).all(), metrics["rmse"]
