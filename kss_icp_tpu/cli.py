@@ -116,7 +116,7 @@ def _batch(args) -> int:
         )
         dt = time.perf_counter() - t0
         m = registration_measure(aligned, tgt.astype(np.float32))
-        rows.append((name, dt, m))
+        rows.append((name, dt, m, float(res.fitness)))
         print(f"{name:12s} time={dt:7.3f}s MSE={m['mse']:.6g} "
               f"RMSE={m['rmse']:.6g} MAE={m['mae']:.6g}")
         if args.output_dir:
@@ -126,6 +126,12 @@ def _batch(args) -> int:
     if rows:
         total = sum(r[1] for r in rows)
         print(f"{'TOTAL':12s} time={total:7.3f}s pairs/sec={len(rows)/total:.3f}")
+    if args.success_list:
+        # The data/registration/ICP.txt protocol: a "success:" line listing
+        # models whose converged fitness clears the threshold.
+        ok = [r[0] for r in rows if r[3] <= args.success_threshold]
+        Path(args.success_list).write_text("success: " + " ".join(ok) + "\n")
+        print(f"success: {' '.join(ok)}")
     return 0
 
 
@@ -299,6 +305,10 @@ def main(argv=None) -> int:
     p.add_argument("--source-ext", default=".gird")
     p.add_argument("--target-ext", default=".wlop")
     p.add_argument("--output-dir", default=None)
+    p.add_argument("--success-list", default=None, metavar="FILE",
+                   help="write an ICP.txt-style success line")
+    p.add_argument("--success-threshold", type=float, default=0.0015,
+                   help="fitness threshold for the success list")
     add_common(p)
     p.set_defaults(fn=_batch)
 

@@ -67,3 +67,25 @@ def test_middle_align_padded_equals_unpadded(rng):
     np.testing.assert_allclose(
         np.asarray(sim_p.translation), np.asarray(sim_u.translation), atol=1e-12
     )
+
+
+def test_max_radius_scale_mode(rng):
+    """The reference's commented-out max-length size variant
+    (initRegistrationKSS.hpp:166-170)."""
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.preshape import middle_align
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from helpers import random_cloud
+
+    tgt = random_cloud(rng, 300).astype(np.float32)
+    src = (tgt * 0.25 + 1.0).astype(np.float32)
+    mask = jnp.ones((300,), bool)
+    sim, _, scale = middle_align(
+        jnp.asarray(src), mask, jnp.asarray(tgt), mask, scale_mode="max_radius"
+    )
+    out = np.asarray(apply_similarity(sim, jnp.asarray(src)))
+    # Max radius ratio of a scaled copy is exactly the scale factor, so the
+    # alignment is exact.
+    np.testing.assert_allclose(float(scale), 4.0, rtol=1e-4)
+    np.testing.assert_allclose(out, tgt, atol=1e-4)
