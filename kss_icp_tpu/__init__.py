@@ -12,7 +12,7 @@ the rotation grid shard over TPU meshes via jax.sharding / shard_map.
 
 from kss_icp_tpu.config import KSSICPConfig
 from kss_icp_tpu.core.cloud import PointCloud
-from kss_icp_tpu.core.transforms import Similarity
+from kss_icp_tpu.core.transforms import Similarity, apply_similarity
 from kss_icp_tpu.models.kss_icp import register_pair, RegistrationResult
 from kss_icp_tpu.metrics import registration_measure
 
@@ -22,8 +22,17 @@ __all__ = [
     "KSSICPConfig",
     "PointCloud",
     "Similarity",
+    "apply_similarity",
     "register_pair",
     "RegistrationResult",
     "registration_measure",
     "__version__",
 ]
+
+
+def register_many(*args, **kwargs):
+    """Batched sweep over raw cloud pairs — see parallel/batch.register_many.
+    (Lazy import: parallel/ pulls in sharding machinery.)"""
+    from kss_icp_tpu.parallel.batch import register_many as _impl
+
+    return _impl(*args, **kwargs)
