@@ -67,9 +67,18 @@ def _register(args) -> int:
         tgt = load_points(args.target)
     print(f"loaded source={src.shape[0]} target={tgt.shape[0]} points")
 
+    profile_ctx = None
+    if getattr(args, "profile", None):
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
     t0 = time.perf_counter()
     with log.stage("register", n_source=src.shape[0], n_target=tgt.shape[0]):
-        res = register_pair(src, tgt, cfg)
+        if profile_ctx is not None:
+            with profile_ctx:
+                res = register_pair(src, tgt, cfg)
+        else:
+            res = register_pair(src, tgt, cfg)
     aligned = np.asarray(
         apply_similarity(res.transform, jnp.asarray(src, jnp.float32))
     )
@@ -107,6 +116,11 @@ def _batch(args) -> int:
     ]
     rows = []
     for name in names:
+        if args.resume and args.output_dir and (
+            Path(args.output_dir) / f"{name}Align.xyz"
+        ).exists():
+            print(f"{name:12s} skipped (resume: output exists)")
+            continue
         src = load_points(data / f"{name}{args.source_ext}")
         tgt = load_points(data / f"{name}{args.target_ext}")
         t0 = time.perf_counter()
@@ -296,6 +310,8 @@ def main(argv=None) -> int:
     p.add_argument("target")
     p.add_argument("-o", "--output", default=None, help=".xyz output path")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the registration")
     add_common(p)
     p.set_defaults(fn=_register)
 
@@ -309,6 +325,8 @@ def main(argv=None) -> int:
                    help="write an ICP.txt-style success line")
     p.add_argument("--success-threshold", type=float, default=0.0015,
                    help="fitness threshold for the success list")
+    p.add_argument("--resume", action="store_true",
+                   help="skip models whose <name>Align.xyz already exists")
     add_common(p)
     p.set_defaults(fn=_batch)
 
