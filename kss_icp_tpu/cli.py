@@ -102,6 +102,7 @@ def _batch(args) -> int:
     """Per-model table over a name list — the Main_KSS_List protocol
     (Main_KSS_List.cpp:151-179): register <name>.gird onto <name>.wlop."""
     _apply_platform(args)
+    import jax
     import jax.numpy as jnp
 
     from kss_icp_tpu.core.transforms import apply_similarity
@@ -114,6 +115,34 @@ def _batch(args) -> int:
     names = [
         ln.strip() for ln in Path(args.list_file).read_text().splitlines() if ln.strip()
     ]
+
+    if args.batched:
+        # One jitted program over the whole list (bench.py protocol).
+        from kss_icp_tpu.parallel.batch import register_many
+
+        pairs = [
+            (load_points(data / f"{n}{args.source_ext}"),
+             load_points(data / f"{n}{args.target_ext}"))
+            for n in names
+        ]
+        t0 = time.perf_counter()
+        res, metrics = register_many(pairs, cfg)
+        dt = time.perf_counter() - t0
+        for i, name in enumerate(names):
+            print(f"{name:12s} MSE={metrics['mse'][i]:.6g} "
+                  f"RMSE={metrics['rmse'][i]:.6g} MAE={metrics['mae'][i]:.6g}")
+            if args.output_dir:
+                out = Path(args.output_dir)
+                out.mkdir(parents=True, exist_ok=True)
+                aligned = np.asarray(apply_similarity(
+                    jax.tree.map(lambda x: x[i], res.transform),
+                    jnp.asarray(pairs[i][0], jnp.float32),
+                ))
+                save_xyz(out / f"{name}Align.xyz", aligned)
+        print(f"{'TOTAL':12s} time={dt:7.3f}s (incl. compile) "
+              f"pairs/sec={len(names)/dt:.3f}")
+        return 0
+
     rows = []
     for name in names:
         if args.resume and args.output_dir and (
@@ -327,6 +356,8 @@ def main(argv=None) -> int:
                    help="fitness threshold for the success list")
     p.add_argument("--resume", action="store_true",
                    help="skip models whose <name>Align.xyz already exists")
+    p.add_argument("--batched", action="store_true",
+                   help="register the whole list as one jitted program")
     add_common(p)
     p.set_defaults(fn=_batch)
 
