@@ -71,6 +71,11 @@ class KSSICPConfig:
     # RMSE identical within run noise (max delta 9e-4, both directions) and
     # 19% faster than "highest"; final fitness is always HIGHEST.
     icp_precision: str = "high"
+    # ICP error metric. "point_to_point" = reference/PCL parity (Kabsch on
+    # matched pairs). "point_to_plane" (Chen & Medioni, NOT in the
+    # reference) linearizes against target PCA-normal planes — an opt-in
+    # improvement for smooth surfaces with density mismatch.
+    icp_variant: str = "point_to_point"
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"

@@ -99,6 +99,61 @@ def kabsch(
     return r, t
 
 
+def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
+    """exp([w]x) for a small rotation vector (3,)."""
+    dtype = omega.dtype
+    theta = jnp.linalg.norm(omega)
+    safe = jnp.maximum(theta, jnp.asarray(1e-12, dtype))
+    k = omega / safe
+    kx = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]], dtype
+    )
+    r = (
+        jnp.eye(3, dtype=dtype)
+        + jnp.sin(theta) * kx
+        + (1.0 - jnp.cos(theta)) * (kx @ kx)
+    )
+    return jnp.where(theta < 1e-12, jnp.eye(3, dtype=dtype), r)
+
+
+def point_to_plane_step(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    target_normals: jnp.ndarray,
+    weights: jnp.ndarray,
+    axis_name: str | None = None,
+):
+    """Linearized point-to-plane update (Chen & Medioni): minimize
+    sum w (n·(R p + t − q))² with R ≈ I + [w]x via the 6x6 normal equations.
+
+    Not in the reference (PCL point-to-point only) — an opt-in improvement
+    (KSSICPConfig.icp_variant="point_to_plane"): faster convergence on
+    smooth surfaces with density mismatch. Normal sign cancels in the
+    squared residual, so unoriented PCA normals suffice.
+    Returns (R (3,3), t (3,)).
+    """
+    dtype = source.dtype
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    n = target_normals
+    r = jnp.sum(n * (source - target), axis=-1)  # (N,) signed residuals
+    a = jnp.concatenate([jnp.cross(source, n), n], axis=-1)  # (N, 6)
+    w = weights[:, None]
+    ata = allsum(
+        jnp.einsum("ni,nj->ij", a * w, a, precision=jax.lax.Precision.HIGHEST)
+    )
+    atb = allsum(
+        jnp.einsum("ni,n->i", a * w, -r, precision=jax.lax.Precision.HIGHEST)
+    )
+    # Levenberg damping keeps the 6x6 solve sane when correspondences are
+    # degenerate (coplanar normals).
+    x = jnp.linalg.solve(ata + 1e-6 * jnp.eye(6, dtype=dtype), atb)
+    rot = _rodrigues(x[:3])
+    return rot, x[3:]
+
+
 class _ICPState(NamedTuple):
     rotation: jnp.ndarray
     translation: jnp.ndarray
@@ -117,7 +172,7 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("axis_name", "precision"))
+@partial(jax.jit, static_argnames=("axis_name", "precision", "variant"))
 def icp(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -128,6 +183,8 @@ def icp(
     init_translation: jnp.ndarray | None = None,
     axis_name: str | None = None,
     precision: str = "highest",
+    variant: str = "point_to_point",
+    target_normals: jnp.ndarray | None = None,
 ) -> ICPResult:
     """Run ICP from identity (or a warm-start transform); returns the rigid
     transform source -> target.
@@ -162,7 +219,12 @@ def icp(
         w = keep.astype(dtype)
         corr = target[idx]
         # Delta transform: current positions -> matched targets.
-        dr, dt = kabsch(cur, corr, w, axis_name)
+        if variant == "point_to_plane":
+            dr, dt = point_to_plane_step(
+                cur, corr, target_normals[idx], w, axis_name
+            )
+        else:
+            dr, dt = kabsch(cur, corr, w, axis_name)
         new_r = dr @ st.rotation
         new_t = dr @ st.translation + dt
 

@@ -96,6 +96,12 @@ def register_resampled(
     rotated = jnp.einsum("kij,pj->kpi", r_cand, src_aligned, precision=jax.lax.Precision.HIGHEST)
     params = ICPParams.from_config(cfg, dtype)
 
+    tgt_normals = None
+    if cfg.icp_variant == "point_to_plane":
+        from kss_icp_tpu.ops.normals import estimate_normals
+
+        tgt_normals = estimate_normals(target_points, target_mask)
+
     if cfg.multistart_mode == "two_phase":
         # Screen every candidate with a short, subsampled solve. FPS emits
         # points in pick order, so the first screen_points rows of the
@@ -105,7 +111,8 @@ def register_resampled(
         screen_params = params._replace(
             max_iterations=jnp.asarray(cfg.screen_iterations, jnp.int32)
         )
-        screen_icp = partial(icp, precision=cfg.screen_precision)
+        screen_icp = partial(icp, precision=cfg.screen_precision,
+                             variant=cfg.icp_variant, target_normals=tgt_normals)
         res1 = jax.vmap(screen_icp, in_axes=(0, None, None, None, None))(
             rotated, screen_mask, target_points, target_mask, screen_params
         )
@@ -114,7 +121,8 @@ def register_resampled(
         # fitness gate (KSS_ICP.hpp:99) is defined on it.
         n_refine = min(cfg.refine_candidates, fit1.shape[0])
         sel = jnp.argsort(fit1.at[0].set(-jnp.inf))[:n_refine]
-        refine_icp = partial(icp, precision=cfg.icp_precision)
+        refine_icp = partial(icp, precision=cfg.icp_precision,
+                             variant=cfg.icp_variant, target_normals=tgt_normals)
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
             rotated[sel], source_mask, target_points, target_mask, params,
             res1.rotation[sel], res1.translation[sel],
@@ -122,7 +130,8 @@ def register_resampled(
         fit = jnp.where(coarse.candidate_mask[sel], res.fitness, _BIG)
     else:
         sel = jnp.arange(coarse.candidate_angles.shape[0])
-        full_icp = partial(icp, precision=cfg.icp_precision)
+        full_icp = partial(icp, precision=cfg.icp_precision,
+                           variant=cfg.icp_variant, target_normals=tgt_normals)
         res = jax.vmap(full_icp, in_axes=(0, None, None, None, None))(
             rotated, source_mask, target_points, target_mask, params
         )

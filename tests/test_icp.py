@@ -112,3 +112,52 @@ def test_icp_vmapped_multistart(rng):
     fits = np.asarray(res.fitness)
     assert fits[0] < 1e-6  # near-identity start converges
     assert fits.shape == (2,)
+
+
+def test_point_to_plane_recovers_transform(rng):
+    """Chen & Medioni variant: converges on a smooth surface and matches the
+    known rigid transform (opt-in improvement, not in the reference)."""
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.config import KSSICPConfig
+    from kss_icp_tpu.models.icp import ICPParams, icp
+    from kss_icp_tpu.ops.normals import estimate_normals
+    from helpers import random_cloud
+
+    tgt = random_cloud(rng, 600).astype(np.float32)
+    ang = 0.25
+    c, s = np.cos(ang), np.sin(ang)
+    r_true = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    src = tgt @ r_true.T + np.array([0.04, -0.03, 0.02], np.float32)
+    mask = jnp.ones((600,), bool)
+    normals = estimate_normals(jnp.asarray(tgt), mask)
+
+    params = ICPParams.from_config(KSSICPConfig(max_icp_iterations=80))
+    res = icp(jnp.asarray(src), mask, jnp.asarray(tgt), mask, params,
+              variant="point_to_plane", target_normals=normals)
+    np.testing.assert_allclose(np.asarray(res.rotation) @ r_true,
+                               np.eye(3), atol=5e-3)
+    assert float(res.fitness) < 1e-5
+
+
+def test_pipeline_point_to_plane_variant(rng):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.config import KSSICPConfig
+    from kss_icp_tpu.core.transforms import apply_similarity, euler_xyz_matrix
+    from kss_icp_tpu.metrics import registration_measure
+    from kss_icp_tpu.models.kss_icp import register_pair
+    from helpers import random_cloud
+
+    tgt = random_cloud(rng, 800)
+    r = np.asarray(euler_xyz_matrix(jnp.array([1.2, 0.4, 2.0])))
+    src = tgt @ r
+    cfg = KSSICPConfig(rotation_steps=8, max_candidates=8,
+                       max_resample_points=256, resample_pad=256,
+                       max_icp_iterations=100, icp_variant="point_to_plane")
+    res = register_pair(src, tgt, cfg)
+    aligned = np.asarray(apply_similarity(res.transform, jnp.asarray(src, jnp.float32)))
+    m = registration_measure(aligned, tgt.astype(np.float32))
+    assert m["rmse"] < 0.02, m
