@@ -69,10 +69,7 @@ def main() -> int:
     from kss_icp_tpu.config import KSSICPConfig
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
-    from kss_icp_tpu.models.kss_icp import (
-        register_resampled,
-        resample_for_registration,
-    )
+    from kss_icp_tpu.models.kss_icp import register_resampled, resample_batch
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -101,13 +98,14 @@ def main() -> int:
 
     @partial(jax.jit, static_argnames=("cfg",))
     def pipeline(sp, sm_, tp, tm_, pn, cfg):
-        def one(spi, smi, tpi, tmi, pni):
-            rs, rsm = resample_for_registration(spi, smi, pni, cfg)
-            rt, rtm = resample_for_registration(tpi, tmi, pni, cfg)
-            res = register_resampled(rs, rsm, rt, rtm, cfg)
+        rs, rsm = resample_batch(sp, sm_, pn, cfg)
+        rt, rtm = resample_batch(tp, tm_, pn, cfg)
+
+        def one(spi, smi, tpi, tmi):
+            res = register_resampled(spi, smi, tpi, tmi, cfg)
             return res.transform, res.fitness
 
-        return jax.vmap(one)(sp, sm_, tp, tm_, pn)
+        return jax.vmap(one)(rs, rsm, rt, rtm)
 
     args = tuple(map(jnp.asarray, (src, sm, tgt, tm, pnum)))
 

@@ -32,6 +32,10 @@ class KSSICPConfig:
     # Working size = min(|S|,|T|)//2 clamped to max_resample_points.
     max_resample_points: int = 2000
     resample_pad: int = 2048         # static padded size of resampled clouds (lane-aligned)
+    # FPS backend for resample_batch: "pallas" = whole-batch lockstep kernel
+    # (ops/resample_pallas.py), "xla" = vmapped fori_loop, "auto" = pallas
+    # on TPU. Both return identical index sequences.
+    fps_backend: str = "auto"
 
     # --- ICP refinement (KSS_ICP.hpp:156-159, Main_KSS_ICP.cpp:81) ---
     max_icp_iterations: int = 1000
@@ -86,6 +90,9 @@ class KSSICPConfig:
     # the MXU passes vs "highest" (f32); "default" (bf16) is 6x. ICP
     # correspondence and metrics always stay at HIGHEST.
     coarse_precision: str = "high"   # "default" | "high" | "highest"
+    # Rotation-field scoring backend: "pallas" = fused VMEM kernel
+    # (ops/coarse_pallas.py), "xla" = chunked einsum, "auto" = pallas on TPU.
+    coarse_backend: str = "auto"
     nn_query_chunk: int = 4096       # query rows per NN chunk for big clouds
 
     @property

@@ -62,7 +62,13 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk", "precision"))
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend"))
 def score_rotation_field(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -73,16 +79,31 @@ def score_rotation_field(
     span: float = 6.3,
     chunk: int = 64,
     precision: str = "highest",
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Alignment-error field over the full rotation grid.
 
     source must already be pre-shape aligned (middle_align applied).
     Returns (steps, steps, steps) with field[i, j, k] = mean 1-NN distance of
     Rz(k)·Ry(j)·Rx(i)·source to target (= initRegistration_Error_Ave).
+
+    backend: "pallas" fuses rotate/distance/min/mean in VMEM (ops/
+    coarse_pallas.py — no (C, P, T) HBM tensor); "xla" is the chunked
+    einsum path; "auto" picks pallas on TPU.
     """
     angles = rotation_grid(steps, span, source.dtype)
     rots = euler_xyz_matrix(angles)  # (C_total, 3, 3)
     total = rots.shape[0]
+
+    if _resolve_backend(backend) == "pallas":
+        from kss_icp_tpu.ops.coarse_pallas import rotation_scores_pallas
+
+        scores = rotation_scores_pallas(
+            source, source_mask, target, target_mask, rots,
+            precision=precision,
+        ).astype(source.dtype)
+        return scores.reshape(steps, steps, steps)
+
     chunk = min(chunk, total)
     while total % chunk != 0:
         chunk -= 1
@@ -118,7 +139,7 @@ def local_minima_mask(field: jnp.ndarray, radius: int) -> jnp.ndarray:
     return field <= pooled
 
 
-@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision"))
+@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend"))
 def coarse_align(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -131,6 +152,7 @@ def coarse_align(
     max_candidates: int = 32,
     chunk: int = 64,
     precision: str = "highest",
+    backend: str = "auto",
 ) -> CoarseResult:
     """Score the grid, extract local minima, rank candidates by error.
 
@@ -142,7 +164,7 @@ def coarse_align(
     """
     field = score_rotation_field(
         source, source_mask, target, target_mask, steps=steps, span=span,
-        chunk=chunk, precision=precision,
+        chunk=chunk, precision=precision, backend=backend,
     )
     is_min = local_minima_mask(field, radius)
 

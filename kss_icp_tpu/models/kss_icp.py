@@ -89,6 +89,7 @@ def register_resampled(
         max_candidates=cfg.max_candidates,
         chunk=cfg.rotation_chunk,
         precision=cfg.coarse_precision,
+        backend=cfg.coarse_backend,
     )
 
     # 4. Batched multi-start ICP over all candidate angles at once.
@@ -160,6 +161,40 @@ def register_resampled(
     )
 
 
+def _fps_backend(cfg: KSSICPConfig) -> str:
+    if cfg.fps_backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return cfg.fps_backend
+
+
+@partial(jax.jit, static_argnames=("cfg", "pad"))
+def resample_batch(
+    points: jnp.ndarray,      # (B, N, 3)
+    mask: jnp.ndarray,        # (B, N)
+    pnumber: jnp.ndarray,     # (B,) traced per-pair working sizes
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+    pad: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FPS-resample a whole batch of padded clouds to (B, resample_pad, 3).
+
+    On TPU this routes through the single-launch lockstep Pallas kernel
+    (ops/resample_pallas.py) — the vmapped XLA fori_loop issues ~2000 tiny
+    dispatches and is latency-bound. Results are identical.
+    """
+    p = pad if pad is not None else cfg.resample_pad
+    if _fps_backend(cfg) == "pallas":
+        from kss_icp_tpu.ops.resample_pallas import fps_batch_pallas
+
+        idx, smask = fps_batch_pallas(points, mask, p)
+    else:
+        idx, smask = jax.vmap(
+            lambda pt, m: farthest_point_sampling(pt, m, p)
+        )(points, mask)
+    smask = smask & (jnp.arange(p)[None, :] < pnumber[:, None])
+    pts = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return pts * smask[..., None].astype(points.dtype), smask
+
+
 @partial(jax.jit, static_argnames=("cfg", "pad"))
 def resample_for_registration(
     points: jnp.ndarray,
@@ -198,10 +233,11 @@ def register_pair(
     n_t = int(target.count)
     pnumber = cfg.resample_count(n_s, n_t)
 
-    src_pts, src_mask = resample_for_registration(
-        source.points, source.mask, jnp.asarray(pnumber), cfg
+    pn = jnp.asarray([pnumber])
+    src_pts, src_mask = resample_batch(
+        source.points[None], source.mask[None], pn, cfg
     )
-    tgt_pts, tgt_mask = resample_for_registration(
-        target.points, target.mask, jnp.asarray(pnumber), cfg
+    tgt_pts, tgt_mask = resample_batch(
+        target.points[None], target.mask[None], pn, cfg
     )
-    return register_resampled(src_pts, src_mask, tgt_pts, tgt_mask, cfg)
+    return register_resampled(src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0], cfg)

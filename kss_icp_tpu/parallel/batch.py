@@ -71,7 +71,7 @@ def register_many(
 
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
-    from kss_icp_tpu.models.kss_icp import resample_for_registration
+    from kss_icp_tpu.models.kss_icp import resample_batch
 
     def pad(cloud):
         pts = np.asarray(cloud, np.float32)[:full_pad]
@@ -92,9 +92,8 @@ def register_many(
          for a, b in zip(src, tgt)]
     )
 
-    resample = jax.jit(jax.vmap(partial(resample_for_registration, cfg=cfg)))
-    sp, sm = resample(s_pts, s_msk, pnum)
-    tp, tm = resample(t_pts, t_msk, pnum)
+    sp, sm = resample_batch(s_pts, s_msk, pnum, cfg)
+    tp, tm = resample_batch(t_pts, t_msk, pnum, cfg)
     res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)
 
     aligned = jax.jit(jax.vmap(apply_similarity))(res.transform, s_pts)
