@@ -80,6 +80,13 @@ class KSSICPConfig:
     # reference) linearizes against target PCA-normal planes — an opt-in
     # improvement for smooth surfaces with density mismatch.
     icp_variant: str = "point_to_point"
+    # 1-NN backend inside ICP (correspondence + fitness): "pallas" = exact
+    # f32 VPU kernel, "xla" = matmul path at icp_precision. Default xla:
+    # measured on v5e, the multi-start solve runs 40-160 vmapped lanes and
+    # XLA batches their small NN matmuls into one MXU program, while vmap
+    # of a pallas_call serializes lanes into grid steps (27.9 vs 32.6
+    # pairs/s end-to-end). "auto" currently maps to xla for this reason.
+    icp_nn_backend: str = "xla"
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
@@ -93,6 +100,12 @@ class KSSICPConfig:
     # Rotation-field scoring backend: "pallas" = fused VMEM kernel
     # (ops/coarse_pallas.py), "xla" = chunked einsum, "auto" = pallas on TPU.
     coarse_backend: str = "auto"
+    # Source points used for rotation-field *scoring* (0 = all). FPS emits
+    # points in pick order, so the first K resampled points are themselves a
+    # uniform subsample; the field only ranks candidate angles (each gets
+    # exact ICP refinement), so scoring on a prefix trades field fidelity
+    # for a ~linear cut in coarse-search cost. No reference analogue.
+    coarse_points: int = 0
     nn_query_chunk: int = 4096       # query rows per NN chunk for big clouds
 
     @property

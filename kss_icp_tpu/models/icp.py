@@ -172,7 +172,7 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("axis_name", "precision", "variant"))
+@partial(jax.jit, static_argnames=("axis_name", "precision", "variant", "nn_backend"))
 def icp(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -185,6 +185,7 @@ def icp(
     precision: str = "highest",
     variant: str = "point_to_point",
     target_normals: jnp.ndarray | None = None,
+    nn_backend: str = "xla",
 ) -> ICPResult:
     """Run ICP from identity (or a warm-start transform); returns the rigid
     transform source -> target.
@@ -197,10 +198,23 @@ def icp(
     the target replicated): every reduction — Kabsch sums, correspondence
     MSE, fitness — psums over the axis, and the convergence predicates are
     computed from the psum'ed values so control flow stays uniform.
+
+    nn_backend "pallas" routes correspondence and fitness 1-NN through the
+    exact-f32 VPU kernel (ops/nn_pallas.nearest_neighbor_vpu) — on TPU this
+    avoids materializing the per-iteration (P, T) distance tensor in HBM
+    and is exact regardless of `precision`.
     """
     dtype = source.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     max_d2 = params.max_correspondence_distance.astype(dtype) ** 2
+
+    if nn_backend == "pallas":
+        from kss_icp_tpu.ops.nn_pallas import nearest_neighbor_vpu
+
+        def nn(q, r, rm, precision=None):
+            return nearest_neighbor_vpu(q, r, rm)
+    else:
+        nn = nearest_neighbor
 
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -214,7 +228,7 @@ def icp(
 
     def body(st: _ICPState) -> _ICPState:
         cur = source @ st.rotation.T + st.translation
-        d2, idx = nearest_neighbor(cur, target, target_mask, precision=prec)
+        d2, idx = nn(cur, target, target_mask, precision=prec)
         keep = source_mask & (d2 <= max_d2)
         w = keep.astype(dtype)
         corr = target[idx]
@@ -273,7 +287,7 @@ def icp(
     final = jax.lax.while_loop(cond, body, init)
 
     aligned = source @ final.rotation.T + final.translation
-    d2, _ = nearest_neighbor(aligned, target, target_mask)
+    d2, _ = nn(aligned, target, target_mask)
     w = source_mask.astype(dtype)
     fitness = allsum(jnp.sum(d2 * w)) / jnp.maximum(allsum(jnp.sum(w)), 1.0)
     return ICPResult(

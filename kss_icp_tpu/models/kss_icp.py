@@ -77,10 +77,17 @@ def register_resampled(
     sim0, _, _ = middle_align(source_points, source_mask, target_points, target_mask)
     src_aligned = apply_similarity(sim0, source_points)
 
-    # 3. Rotation-grid coarse search + local minima.
+    # 3. Rotation-grid coarse search + local minima. Scoring may use a
+    # uniform FPS-prefix subsample (cfg.coarse_points, a static slice so
+    # the scoring kernel's work actually shrinks); candidates are refined
+    # by ICP at full resolution either way.
+    score_src, score_mask = src_aligned, source_mask
+    if cfg.coarse_points and cfg.coarse_points < source_points.shape[0]:
+        score_src = src_aligned[: cfg.coarse_points]
+        score_mask = source_mask[: cfg.coarse_points]
     coarse = coarse_align(
-        src_aligned,
-        source_mask,
+        score_src,
+        score_mask,
         target_points,
         target_mask,
         steps=cfg.rotation_steps,
@@ -103,6 +110,10 @@ def register_resampled(
 
         tgt_normals = estimate_normals(target_points, target_mask)
 
+    nn_backend = cfg.icp_nn_backend
+    if nn_backend == "auto":
+        nn_backend = "xla"  # see KSSICPConfig.icp_nn_backend
+
     if cfg.multistart_mode == "two_phase":
         # Screen every candidate with a short, subsampled solve. FPS emits
         # points in pick order, so the first screen_points rows of the
@@ -113,7 +124,8 @@ def register_resampled(
             max_iterations=jnp.asarray(cfg.screen_iterations, jnp.int32)
         )
         screen_icp = partial(icp, precision=cfg.screen_precision,
-                             variant=cfg.icp_variant, target_normals=tgt_normals)
+                             variant=cfg.icp_variant, target_normals=tgt_normals,
+                             nn_backend=nn_backend)
         res1 = jax.vmap(screen_icp, in_axes=(0, None, None, None, None))(
             rotated, screen_mask, target_points, target_mask, screen_params
         )
@@ -123,7 +135,8 @@ def register_resampled(
         n_refine = min(cfg.refine_candidates, fit1.shape[0])
         sel = jnp.argsort(fit1.at[0].set(-jnp.inf))[:n_refine]
         refine_icp = partial(icp, precision=cfg.icp_precision,
-                             variant=cfg.icp_variant, target_normals=tgt_normals)
+                             variant=cfg.icp_variant, target_normals=tgt_normals,
+                             nn_backend=nn_backend)
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
             rotated[sel], source_mask, target_points, target_mask, params,
             res1.rotation[sel], res1.translation[sel],
@@ -132,7 +145,8 @@ def register_resampled(
     else:
         sel = jnp.arange(coarse.candidate_angles.shape[0])
         full_icp = partial(icp, precision=cfg.icp_precision,
-                           variant=cfg.icp_variant, target_normals=tgt_normals)
+                           variant=cfg.icp_variant, target_normals=tgt_normals,
+                           nn_backend=nn_backend)
         res = jax.vmap(full_icp, in_axes=(0, None, None, None, None))(
             rotated, source_mask, target_points, target_mask, params
         )

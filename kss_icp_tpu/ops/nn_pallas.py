@@ -65,6 +65,82 @@ def _nn_kernel(qa_ref, ra_ref, d2_ref, idx_ref, *, tile_r: int):
         idx_ref[i, :] = jnp.where(better, tile_arg, idx_ref[i, :])
 
 
+def _nn_vpu_kernel(q_ref, t_ref, d2_ref, idx_ref):
+    # Exact-f32 distances via VPU broadcast arithmetic (no MXU, so no
+    # K-padding waste and no bf16-pass noise in the argmin). t_ref is the
+    # whole reference as (8, R) rows [x, y, z, BIG-if-masked, 0...],
+    # resident in VMEM for the entire grid.
+    i = pl.program_id(0)
+    q = q_ref[:]  # (TQ, 3)
+    dx = q[:, 0:1] - t_ref[0:1, :]
+    dy = q[:, 1:2] - t_ref[1:2, :]
+    dz = q[:, 2:3] - t_ref[2:3, :]
+    rel = dx * dx + dy * dy + dz * dz + t_ref[3:4, :]  # (TQ, R)
+    m = jnp.min(rel, axis=1, keepdims=True)
+    r = rel.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rel.shape, 1)
+    amin = jnp.min(jnp.where(rel == m, lane, r), axis=1)
+    d2_ref[i, :] = m[:, 0]
+    idx_ref[i, :] = amin.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "interpret"))
+def nearest_neighbor_vpu(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    tile_q: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-f32 1-NN: (sq_distances (Q,), indices (Q,)) — same contract as
+    nearest_neighbor / nearest_neighbor_pallas, different compute strategy:
+    the whole reference stays VMEM-resident as broadcastable coordinate rows
+    and each (TQ, R) distance block is pure VPU arithmetic. Preferred inside
+    the ICP loop at working sizes (R ≤ ~8k): no (Q, R) HBM tensor and the
+    argmin is exact without HIGHEST's 6 MXU passes. First-index tie-breaks
+    match jnp.argmin."""
+    q_n = query.shape[0]
+    r_n = ref.shape[0]
+    qp = _round_up(max(q_n, tile_q), tile_q)
+    rp = _round_up(max(r_n, 128), 128)
+    f32 = jnp.float32
+
+    q = jnp.pad(query.astype(f32), ((0, qp - q_n), (0, 0)))
+    r = ref.astype(f32)
+    big = jnp.where(ref_mask, 0.0, _BIG)
+    tmat = jnp.stack([r[:, 0], r[:, 1], r[:, 2], big], axis=0)  # (4, R)
+    tmat = jnp.pad(tmat, ((0, 4), (0, rp - r_n)))
+    pad_cols = (jnp.arange(rp) >= r_n)[None, :]
+    row3 = (jnp.arange(8) == 3)[:, None]
+    tmat = jnp.where(row3 & pad_cols, _BIG, tmat)
+
+    nq = qp // tile_q
+    d2, idx = pl.pallas_call(
+        _nn_vpu_kernel,
+        grid=(nq,),
+        in_specs=[
+            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nq, tile_q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, tile_q), f32),
+            jax.ShapeDtypeStruct((nq, tile_q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, tmat)
+
+    d2 = d2.reshape(qp)[:q_n]
+    idx = idx.reshape(qp)[:q_n]
+    # Fully-masked reference: keep the XLA path's +BIG scores; clamp the
+    # padded-lane sentinel index into range.
+    d2 = jnp.where(d2 >= _BIG / 2, _BIG, jnp.maximum(d2, 0.0))
+    return d2, jnp.clip(idx, 0, max(r_n - 1, 0))
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_q", "tile_r", "interpret")
 )

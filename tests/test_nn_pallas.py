@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kss_icp_tpu.ops.nn import nearest_neighbor
-from kss_icp_tpu.ops.nn_pallas import nearest_neighbor_pallas
+from kss_icp_tpu.ops.nn_pallas import nearest_neighbor_pallas, nearest_neighbor_vpu
 from helpers import random_cloud
 
 
@@ -73,3 +73,43 @@ def test_all_masked_reports_big(rng):
     mask = np.zeros((32,), bool)
     d2, _ = _pallas(q, r, mask, tile_q=128, tile_r=128)
     assert np.all(np.asarray(d2) >= 1e29)
+
+
+def _vpu(query, ref, mask, **kw):
+    return nearest_neighbor_vpu(
+        jnp.asarray(query, jnp.float32),
+        jnp.asarray(ref, jnp.float32),
+        jnp.asarray(mask),
+        interpret=True,
+        **kw,
+    )
+
+
+def test_vpu_matches_brute_force(rng):
+    q = random_cloud(rng, 300).astype(np.float32)
+    r = random_cloud(rng, 391).astype(np.float32)
+    mask = np.ones((391,), bool)
+    mask[350:] = False
+    d2, idx = _vpu(q, r, mask, tile_q=128)
+    d = np.linalg.norm(
+        q.astype(np.float64)[:, None] - r.astype(np.float64)[None, :350],
+        axis=-1) ** 2
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(axis=1))
+    np.testing.assert_allclose(np.asarray(d2), d.min(axis=1),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_vpu_all_masked_reports_big(rng):
+    q = random_cloud(rng, 16).astype(np.float32)
+    r = random_cloud(rng, 32).astype(np.float32)
+    mask = np.zeros((32,), bool)
+    d2, _ = _vpu(q, r, mask, tile_q=128)
+    assert np.all(np.asarray(d2) >= 1e29)
+
+
+def test_vpu_ties_break_to_first_index(rng):
+    q = np.zeros((8, 3), np.float32)
+    r = np.zeros((256, 3), np.float32)  # all-equal distances
+    mask = np.ones((256,), bool)
+    _, idx = _vpu(q, r, mask, tile_q=128)
+    np.testing.assert_array_equal(np.asarray(idx), 0)
