@@ -196,10 +196,21 @@ def resample_batch(
     dispatches and is latency-bound. Results are identical.
     """
     p = pad if pad is not None else cfg.resample_pad
-    if _fps_backend(cfg) == "pallas":
+    # The lockstep kernel keeps coordinates + running distances VMEM-resident
+    # (~6 f32 planes of (B_chunk, N)): chunk the batch to ~12 MB of planes,
+    # and fall back to the XLA loop for clouds too wide for even one row.
+    n = points.shape[-2]
+    max_b = (524288 // max(n, 1)) // 8 * 8
+    if _fps_backend(cfg) == "pallas" and max_b >= 8:
         from kss_icp_tpu.ops.resample_pallas import fps_batch_pallas
 
-        idx, smask = fps_batch_pallas(points, mask, p)
+        b = points.shape[0]
+        parts = [
+            fps_batch_pallas(points[i : i + max_b], mask[i : i + max_b], p)
+            for i in range(0, b, max_b)
+        ]
+        idx = jnp.concatenate([x[0] for x in parts], axis=0)
+        smask = jnp.concatenate([x[1] for x in parts], axis=0)
     else:
         idx, smask = jax.vmap(
             lambda pt, m: farthest_point_sampling(pt, m, p)
