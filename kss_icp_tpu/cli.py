@@ -126,7 +126,7 @@ def _batch(args) -> int:
             for n in names
         ]
         t0 = time.perf_counter()
-        res, metrics = register_many(pairs, cfg)
+        res, metrics = register_many(pairs, cfg, escalate=args.escalate)
         dt = time.perf_counter() - t0
         for i, name in enumerate(names):
             print(f"{name:12s} MSE={metrics['mse'][i]:.6g} "
@@ -358,6 +358,9 @@ def main(argv=None) -> int:
                    help="skip models whose <name>Align.xyz already exists")
     p.add_argument("--batched", action="store_true",
                    help="register the whole list as one jitted program")
+    p.add_argument("--escalate", action="store_true",
+                   help="with --batched: re-register high-fitness pairs on "
+                        "a finer (16^3) rotation grid")
     add_common(p)
     p.set_defaults(fn=_batch)
 

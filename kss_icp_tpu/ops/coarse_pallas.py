@@ -74,20 +74,27 @@ def _field_kernel(qa_ref, ra_ref, q2_ref, w_ref, out_ref, *, precision):
         out_ref[row, :] = out_ref[row, :] + s_row
 
 
-def _field_kernel_vpu(q_ref, t_ref, w_ref, out_ref):
+def _field_kernel_vpu(q_ref, t_ref, out_ref):
     # VPU variant: exact f32 distances via broadcast arithmetic — no MXU,
-    # so no K-padding waste and no bf16-pass precision tradeoffs. q_ref is
-    # (1, TQ, 3) rotated source; t_ref is (8, T) rows [x, y, z, maskBIG...].
+    # so no K-padding waste and no bf16-pass precision tradeoffs.
+    #
+    # Layouts are chosen so no operand has a tiny trailing dim (Mosaic
+    # re-tiles pallas operands to (8, 128) tiles, so a (..., 3) input would
+    # be copied at 128/3 ≈ 42x HBM blowup): q_ref is (1, 8, TQ) rotated-
+    # source coordinate ROWS [x; y; z; w(source weight); 0...], t_ref is
+    # (T, 8) target COLUMNS [x, y, z, BIG-if-masked, 0...]. The distance
+    # block is (T, TQ) and the 1-NN min reduces over the sublane axis.
     c = pl.program_id(0)
     i = pl.program_id(1)
-    q = q_ref[0]  # (TQ, 3)
-    dx = q[:, 0:1] - t_ref[0:1, :]
-    dy = q[:, 1:2] - t_ref[1:2, :]
-    dz = q[:, 2:3] - t_ref[2:3, :]
-    rel = dx * dx + dy * dy + dz * dz + t_ref[3:4, :]  # (TQ, T)
-    m = jnp.min(rel, axis=1, keepdims=True)
+    q = q_ref[0]  # (8, TQ)
+    t = t_ref[:]  # (T, 8)
+    dx = t[:, 0:1] - q[0:1, :]
+    dy = t[:, 1:2] - q[1:2, :]
+    dz = t[:, 2:3] - q[2:3, :]
+    rel = dx * dx + dy * dy + dz * dz + t[:, 3:4]  # (T, TQ)
+    m = jnp.min(rel, axis=0, keepdims=True)  # (1, TQ)
     d = jnp.sqrt(jnp.maximum(m, 0.0))
-    s = jnp.sum(d * w_ref[:])
+    s = jnp.sum(d * q[3:4, :])
     row = pl.ds(c % 8, 1)
     s_row = jnp.full((1, 128), s, jnp.float32)
 
@@ -168,33 +175,45 @@ def rotation_scores_pallas(
     )
 
     if method == "vpu":
-        # Target as (8, T) rows [x, y, z, BIG-if-masked, 0...]: lane-major
-        # coordinates broadcast naturally against (TQ, 1) query columns.
+        # Target as (T, 8) columns [x, y, z, BIG-if-masked, 0...]; rotated
+        # source as (C, 8, P) coordinate rows with the source weight in row
+        # 3 — both layouts keep the trailing dim tile-wide (see kernel doc).
         tm_big = jnp.where(target_mask, 0.0, _BIG)
-        tmat = jnp.stack([tgt[:, 0], tgt[:, 1], tgt[:, 2], tm_big], axis=0)
-        tmat = jnp.pad(tmat, ((0, 4), (0, tp - t_n)))
-        pad_cols = (jnp.arange(tp) >= t_n)[None, :]
-        row3 = (jnp.arange(8) == 3)[:, None]
-        tmat = jnp.where(row3 & pad_cols, _BIG, tmat)
+        tmat = jnp.stack([tgt[:, 0], tgt[:, 1], tgt[:, 2], tm_big], axis=1)
+        tmat = jnp.pad(tmat, ((0, tp - t_n), (0, 4)))
+        pad_rows_t = (jnp.arange(tp) >= t_n)[:, None]
+        col3 = (jnp.arange(8) == 3)[None, :]
+        tmat = jnp.where(pad_rows_t & col3, _BIG, tmat)
 
-        qr = jnp.pad(rotated, ((0, cp - c_n), (0, qp - p_n), (0, 0)))
+        wrow = source_mask.astype(f32)
+        wrow = jnp.pad(wrow, (0, qp - p_n))  # padding columns weigh 0
+        qr = jnp.pad(
+            jnp.swapaxes(rotated, 1, 2), ((0, cp - c_n), (0, 0), (0, qp - p_n))
+        )  # (C, 3, P)
+        qr = jnp.concatenate(
+            [
+                qr,
+                jnp.broadcast_to(wrow[None, None, :], (cp, 1, qp)),
+                jnp.zeros((cp, 4, qp), f32),
+            ],
+            axis=1,
+        )  # (C, 8, P)
         sums = pl.pallas_call(
             _field_kernel_vpu,
             grid=(cp, nq),
             in_specs=[
                 pl.BlockSpec(
-                    (1, tile_q, 3), lambda c, i: (c, i, 0),
+                    (1, 8, tile_q), lambda c, i: (c, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (8, tp), lambda c, i: (0, 0), memory_space=pltpu.VMEM
+                    (tp, 8), lambda c, i: (0, 0), memory_space=pltpu.VMEM
                 ),
-                w_spec,
             ],
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(qr, tmat, w)
+        )(qr, tmat)
     else:
         sums = pl.pallas_call(
             functools.partial(_field_kernel, precision=_PRECISIONS[precision]),

@@ -9,6 +9,7 @@ the TPU answer to the reference's one-pair-at-a-time Main_KSS_List loop
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -57,6 +58,9 @@ def register_many(
     cfg: KSSICPConfig = DEFAULT_CONFIG,
     mesh: Optional[Mesh] = None,
     full_pad: int = 8192,
+    escalate: bool = False,
+    escalate_threshold: float = 3e-3,
+    escalate_cfg: Optional[KSSICPConfig] = None,
 ):
     """Host-facing batched sweep: [(source (Ns,3), target (Nt,3)), ...] of
     raw variable-size numpy clouds -> (RegistrationResult batch, metrics).
@@ -66,7 +70,15 @@ def register_many(
     batch as one jitted program (sharded along "pairs" when a mesh is
     given), applies each winning transform to its full-resolution source and
     returns per-pair MSE/RMSE/MAE. This is the Main_KSS_List sweep as a
-    single XLA program."""
+    single XLA program.
+
+    escalate=True adds a second pass the reference does not have: pairs
+    whose final ICP fitness exceeds `escalate_threshold` (mean squared NN
+    distance — well-aligned unit-scale pairs land at 2e-4..1.5e-3) are
+    re-registered on a finer rotation grid (default: 16^3 = 4096 rotations
+    with a wider candidate budget) and the better fitness wins per pair.
+    Measured on 30 adversarial compound-rotation pairs: 0 failures vs 2 for
+    the reference-full protocol (BASELINE.md)."""
     import numpy as np
 
     from kss_icp_tpu.core.transforms import apply_similarity
@@ -95,6 +107,31 @@ def register_many(
     sp, sm = resample_batch(s_pts, s_msk, pnum, cfg)
     tp, tm = resample_batch(t_pts, t_msk, pnum, cfg)
     res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)
+
+    if escalate:
+        fit = np.asarray(res.fitness)
+        bad = np.nonzero(fit > escalate_threshold)[0]
+        if bad.size:
+            ecfg = escalate_cfg or dataclasses.replace(
+                cfg, rotation_steps=16, max_candidates=16,
+                refine_candidates=max(cfg.refine_candidates, 4),
+                coarse_points=0,
+            )
+            # Re-register only the flagged pairs (no mesh: the subset is
+            # small and ragged relative to the device count).
+            res2 = register_batch(sp[bad], sm[bad], tp[bad], tm[bad], ecfg)
+            better = np.nonzero(np.asarray(res2.fitness) < fit[bad])[0]
+            if better.size:
+                win = jnp.asarray(bad[better])
+                sub = jnp.asarray(better)
+                new_tr = jax.tree_util.tree_map(
+                    lambda full, s: full.at[win].set(s[sub]),
+                    res.transform, res2.transform,
+                )
+                res = res._replace(
+                    transform=new_tr,
+                    fitness=res.fitness.at[win].set(res2.fitness[sub]),
+                )
 
     aligned = jax.jit(jax.vmap(apply_similarity))(res.transform, s_pts)
     metrics = jax.jit(jax.vmap(partial(registration_measure_padded, chunk=None)))(

@@ -37,3 +37,22 @@ def test_register_many_on_mesh(rng):
     mesh = make_mesh(("pairs",))  # 8 virtual CPU devices
     res, metrics = register_many(_pairs(rng, 8), CFG, mesh=mesh, full_pad=512)
     assert (metrics["rmse"] < 0.06).all(), metrics["rmse"]
+
+
+def test_register_many_escalation(rng):
+    # A coarse grid too crude for the applied rotation: the first pass must
+    # flag the pair by fitness and the finer-grid second pass must fix it.
+    crude = dataclasses.replace(CFG, rotation_steps=2, max_candidates=2,
+                                refine_candidates=2, screen_iterations=4,
+                                max_icp_iterations=12)
+    esc = dataclasses.replace(CFG, rotation_steps=8, max_candidates=8)
+    pairs = _pairs(rng, 2)
+    res_plain, m_plain = register_many(pairs, crude, full_pad=512)
+    res_esc, m_esc = register_many(
+        pairs, crude, full_pad=512, escalate=True, escalate_cfg=esc,
+        escalate_threshold=1e-3,
+    )
+    assert (m_esc["rmse"] <= m_plain["rmse"] + 1e-6).all()
+    # The escalated pass must actually rescue at least one crude failure.
+    if (m_plain["rmse"] > 0.05).any():
+        assert (m_esc["rmse"] < 0.05).all(), m_esc["rmse"]
