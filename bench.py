@@ -69,7 +69,7 @@ def main() -> int:
     from kss_icp_tpu.config import KSSICPConfig
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
-    from kss_icp_tpu.models.kss_icp import register_resampled, resample_batch
+    from kss_icp_tpu.models.kss_icp import register_resampled, resample_pairs
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -104,8 +104,7 @@ def main() -> int:
 
     @partial(jax.jit, static_argnames=("cfg",))
     def pipeline(sp, sm_, tp, tm_, pn, cfg):
-        rs, rsm = resample_batch(sp, sm_, pn, cfg)
-        rt, rtm = resample_batch(tp, tm_, pn, cfg)
+        (rs, rsm), (rt, rtm) = resample_pairs(sp, sm_, tp, tm_, pn, cfg)
 
         def one(spi, smi, tpi, tmi):
             res = register_resampled(spi, smi, tpi, tmi, cfg)

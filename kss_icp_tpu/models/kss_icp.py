@@ -117,9 +117,13 @@ def register_resampled(
     if cfg.multistart_mode == "two_phase":
         # Screen every candidate with a short, subsampled solve. FPS emits
         # points in pick order, so the first screen_points rows of the
-        # resampled source are themselves a uniform subsample.
+        # resampled source are themselves a uniform subsample — SLICED (not
+        # just masked) so the screening NN matmuls are (screen_points, T)
+        # instead of (P, T): a masked row still costs a full query row.
         p = source_points.shape[0]
-        screen_mask = source_mask & (jnp.arange(p) < cfg.screen_points)
+        sp_n = min(cfg.screen_points, p)
+        screen_src = rotated[:, :sp_n]
+        screen_mask = source_mask[:sp_n]
         screen_params = params._replace(
             max_iterations=jnp.asarray(cfg.screen_iterations, jnp.int32)
         )
@@ -127,7 +131,7 @@ def register_resampled(
                              variant=cfg.icp_variant, target_normals=tgt_normals,
                              nn_backend=nn_backend)
         res1 = jax.vmap(screen_icp, in_axes=(0, None, None, None, None))(
-            rotated, screen_mask, target_points, target_mask, screen_params
+            screen_src, screen_mask, target_points, target_mask, screen_params
         )
         fit1 = jnp.where(coarse.candidate_mask, res1.fitness, _BIG)
         # Candidate 0 (the best grid angle) must survive screening: the
@@ -218,6 +222,26 @@ def resample_batch(
     smask = smask & (jnp.arange(p)[None, :] < pnumber[:, None])
     pts = jnp.take_along_axis(points, idx[..., None], axis=1)
     return pts * smask[..., None].astype(points.dtype), smask
+
+
+@partial(jax.jit, static_argnames=("cfg", "pad"))
+def resample_pairs(
+    source_points: jnp.ndarray,   # (B, N, 3)
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,   # (B, N, 3) — same padded N
+    target_mask: jnp.ndarray,
+    pnumber: jnp.ndarray,         # (B,)
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+    pad: int | None = None,
+):
+    """Resample B source+target pairs as ONE 2B-row batch (one kernel
+    launch on TPU). Returns ((src_pts, src_mask), (tgt_pts, tgt_mask))."""
+    pts = jnp.concatenate([source_points, target_points], axis=0)
+    msk = jnp.concatenate([source_mask, target_mask], axis=0)
+    pn2 = jnp.concatenate([pnumber, pnumber], axis=0)
+    rp, rm = resample_batch(pts, msk, pn2, cfg, pad)
+    b = source_points.shape[0]
+    return (rp[:b], rm[:b]), (rp[b:], rm[b:])
 
 
 @partial(jax.jit, static_argnames=("cfg", "pad"))

@@ -83,7 +83,7 @@ def register_many(
 
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
-    from kss_icp_tpu.models.kss_icp import resample_batch
+    from kss_icp_tpu.models.kss_icp import resample_pairs
 
     def pad(cloud):
         pts = np.asarray(cloud, np.float32)[:full_pad]
@@ -104,8 +104,7 @@ def register_many(
          for a, b in zip(src, tgt)]
     )
 
-    sp, sm = resample_batch(s_pts, s_msk, pnum, cfg)
-    tp, tm = resample_batch(t_pts, t_msk, pnum, cfg)
+    (sp, sm), (tp, tm) = resample_pairs(s_pts, s_msk, t_pts, t_msk, pnum, cfg)
     res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)
 
     if escalate:
