@@ -1,10 +1,11 @@
 """Benchmark: batched KSS-ICP registration throughput on one TPU chip.
 
 Protocol (the reference's own benchmark shape, Main_KSS_List.cpp:151-179):
-register the bundled data/registration pairs (<name>.gird source onto
-<name>.wlop target), full pipeline per pair — FPS resample to 2000 pts,
-pre-shape align, 512-rotation coarse search, multi-start ICP — batched and
-jitted as one program. Prints ONE JSON line:
+register every bundled golden pair — data/registration (10 models) plus
+data/registration_scale (13 models, scale-perturbed) — <name>.gird source
+onto <name>.wlop target, full pipeline per pair: FPS resample to 2000 pts,
+pre-shape align (recovers the scale), 512-rotation coarse search,
+multi-start ICP — batched and jitted as one program. Prints ONE JSON line:
   {"metric": ..., "value": pairs/s/chip, "unit": "pairs/s", "vs_baseline": x}
 
 Baseline: the reference publishes no numbers (BASELINE.md). Its own timers
@@ -24,9 +25,8 @@ from pathlib import Path
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 0.1  # see module docstring
-DATA = Path("/root/reference/PS_AIS_Simplification/data/registration")
-MODELS = ["Bunny", "Cat", "Dog", "Girl", "Horse", "ant", "hand", "woodMan",
-          "Angel", "Armadillo"]
+DATA_ROOT = Path("/root/reference/PS_AIS_Simplification/data")
+SETS = [("registration", ""), ("registration_scale", "s/")]
 FULL_PAD = 8192
 REPEAT = 3
 
@@ -39,11 +39,16 @@ def load_pairs():
     from kss_icp_tpu.io.formats import load_points
 
     pairs = []
-    if DATA.exists():
-        for name in MODELS:
-            g, w = DATA / f"{name}.gird", DATA / f"{name}.wlop"
-            if g.exists() and w.exists():
-                pairs.append((name, load_points(g), load_points(w)))
+    for subdir, prefix in SETS:
+        d = DATA_ROOT / subdir
+        if not d.exists():
+            continue
+        names = sorted({p.stem for p in d.glob("*.gird")}
+                       & {p.stem for p in d.glob("*.wlop")})
+        for name in names:
+            pairs.append((prefix + name,
+                          load_points(d / f"{name}.gird"),
+                          load_points(d / f"{name}.wlop")))
     if not pairs:  # fallback: synthetic wavy-surface pairs
         rng = np.random.default_rng(0)
         for i in range(8):
