@@ -319,6 +319,64 @@ def _view(args) -> int:
     return 0
 
 
+def _serve(args) -> int:
+    """Warm-program JSONL registration server.
+
+    One request per stdin line: {"source": path, "target": path,
+    "output": optional .xyz path}. The first request compiles the
+    fixed-shape batched program; subsequent requests reuse it (identical
+    padded shapes = XLA jit-cache hit), so steady-state latency is the
+    device time alone. One JSON response line per request on stdout.
+    The reference ships no serving surface — this is its batch loop
+    (Main_KSS_List.cpp:151-179) as a long-lived process."""
+    _apply_platform(args)
+    import jax
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from kss_icp_tpu.io.formats import load_points, save_xyz
+    from kss_icp_tpu.parallel.batch import register_many
+
+    cfg = _cfg_from_args(args)
+    print(json.dumps({"event": "ready", "full_pad": args.full_pad}),
+          flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            t0 = time.perf_counter()
+            src = load_points(req["source"])
+            tgt = load_points(req["target"])
+            res, metrics = register_many(
+                [(src, tgt)], cfg, full_pad=args.full_pad,
+                escalate=args.escalate,
+            )
+            dt = time.perf_counter() - t0
+            if req.get("output"):
+                aligned = np.asarray(apply_similarity(
+                    jax.tree.map(lambda x: x[0], res.transform),
+                    jnp.asarray(src, jnp.float32),
+                ))[: src.shape[0]]
+                save_xyz(req["output"], aligned)
+            out = {
+                "ok": True,
+                "source": req["source"],
+                "target": req["target"],
+                "mse": float(metrics["mse"][0]),
+                "rmse": float(metrics["rmse"][0]),
+                "mae": float(metrics["mae"][0]),
+                "fitness": float(np.asarray(res.fitness)[0]),
+                "time_s": round(dt, 4),
+            }
+        except Exception as e:  # keep serving; report the failure
+            out = {"ok": False, "error": f"{type(e).__name__}: {e}",
+                   "request": line[:500]}
+        print(json.dumps(out), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="kss_icp_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -363,6 +421,14 @@ def main(argv=None) -> int:
                         "a finer (16^3) rotation grid")
     add_common(p)
     p.set_defaults(fn=_batch)
+
+    p = sub.add_parser("serve", help="JSONL registration server on stdin/stdout")
+    p.add_argument("--full-pad", type=int, default=8192,
+                   help="static padded cloud size (fixed = one compile)")
+    p.add_argument("--escalate", action="store_true",
+                   help="re-register high-fitness requests on a 16^3 grid")
+    add_common(p)
+    p.set_defaults(fn=_serve)
 
     p = sub.add_parser("measure", help="MSE/RMSE/MAE of aligned vs target")
     p.add_argument("aligned")

@@ -40,11 +40,27 @@ def register_batch(
 ) -> RegistrationResult:
     """Register B resampled pairs at once.
 
-    With a mesh, inputs are constrained to be sharded along `pair_axis`
-    (batch dim split across devices; XLA partitions the whole computation
-    with zero cross-pair communication).
+    With a mesh, the batch axis is split across `pair_axis` devices via
+    shard_map: each device runs the whole vmapped pipeline on its LOCAL
+    slice of pairs with zero cross-pair communication. shard_map (rather
+    than a sharding constraint on a global vmap) is load-bearing on real
+    multi-chip hardware — the Pallas kernels inside the pipeline see local
+    shapes instead of asking the SPMD partitioner to split custom calls.
+    Falls back to a sharding-constraint global program when B does not
+    divide the axis size.
     """
     if mesh is not None:
+        n = mesh.shape[pair_axis]
+        if source_points.shape[0] % n == 0:
+            spec = P(pair_axis)
+            fn = jax.shard_map(
+                _vmapped(cfg),
+                mesh=mesh,
+                in_specs=(spec, spec, spec, spec),
+                out_specs=spec,
+                check_vma=False,
+            )
+            return fn(source_points, source_mask, target_points, target_mask)
         shard = NamedSharding(mesh, P(pair_axis))
         source_points = jax.lax.with_sharding_constraint(source_points, shard)
         source_mask = jax.lax.with_sharding_constraint(source_mask, shard)

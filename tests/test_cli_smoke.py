@@ -43,3 +43,26 @@ def test_measure_no_x64(cloud_file, tmp_path):
     r = _run(["measure", str(cloud_file), str(cloud_file)])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "RMSE: 0" in r.stdout  # identical clouds -> zero error
+
+
+def test_serve_jsonl_no_x64(cloud_file, tmp_path):
+    import json
+
+    out = tmp_path / "served.xyz"
+    req = json.dumps({"source": str(cloud_file), "target": str(cloud_file),
+                      "output": str(out)})
+    bad = json.dumps({"source": "/nonexistent.xyz", "target": str(cloud_file)})
+    r = subprocess.run(
+        [sys.executable, "-m", "kss_icp_tpu", "serve", "--platform", "cpu",
+         "--full-pad", "2048", "--accurate", "2", "--iterations", "20",
+         "--max-candidates", "2"],
+        input=req + "\n" + bad + "\n",
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines[0]["event"] == "ready"
+    ok = lines[1]
+    assert ok["ok"] and ok["rmse"] < 1e-3  # identical clouds
+    assert out.exists()
+    assert lines[2]["ok"] is False  # bad request reported, server kept going
