@@ -80,13 +80,18 @@ class KSSICPConfig:
     # reference) linearizes against target PCA-normal planes — an opt-in
     # improvement for smooth surfaces with density mismatch.
     icp_variant: str = "point_to_point"
-    # 1-NN backend inside ICP (correspondence + fitness): "pallas" = exact
-    # f32 VPU kernel, "xla" = matmul path at icp_precision. Default xla:
-    # measured on v5e, the multi-start solve runs 40-160 vmapped lanes and
-    # XLA batches their small NN matmuls into one MXU program, while vmap
-    # of a pallas_call serializes lanes into grid steps (27.9 vs 32.6
-    # pairs/s end-to-end). "auto" currently maps to xla for this reason.
-    icp_nn_backend: str = "xla"
+    # 1-NN backend inside the SCREENING ICP (and the full-protocol solve):
+    # "pallas" = exact f32 VPU kernel, "xla" = matmul path at the stage
+    # precision. "auto" = pallas on TPU for the two-phase screen (measured
+    # v5e, batch 23: 109.7 -> 118.7 pairs/s — 184 small lanes whose XLA
+    # (512, T) distance matrices are HBM round-trips), but xla for
+    # multistart_mode="full" (few huge lanes: XLA batches their matmuls
+    # into one MXU program; vmapped pallas serializes, 32.6 -> 27.9).
+    icp_nn_backend: str = "auto"
+    # Backend for the full-resolution REFINEMENT solve (two-phase mode;
+    # "auto" = xla: measured 118.7 (xla) vs 114.6 (pallas) pairs/s — the
+    # refine phase is few big lanes, same tradeoff as "full" mode).
+    refine_nn_backend: str = "auto"
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
@@ -100,6 +105,10 @@ class KSSICPConfig:
     # Rotation-field scoring backend: "pallas" = fused VMEM kernel
     # (ops/coarse_pallas.py), "xla" = chunked einsum, "auto" = pallas on TPU.
     coarse_backend: str = "auto"
+    # Pallas field-kernel compute strategy: "vpu" = exact-f32 broadcast
+    # distances, "dot" = augmented-matmul on the MXU (see
+    # ops/coarse_pallas.rotation_scores_pallas).
+    coarse_method: str = "vpu"
     # Source points used for rotation-field *scoring* (0 = all). FPS emits
     # points in pick order, so the first K resampled points are themselves a
     # uniform subsample; the field only ranks candidate angles (each gets

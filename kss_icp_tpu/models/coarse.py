@@ -68,7 +68,7 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend"))
+@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend", "method"))
 def score_rotation_field(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -80,6 +80,7 @@ def score_rotation_field(
     chunk: int = 64,
     precision: str = "highest",
     backend: str = "auto",
+    method: str = "vpu",
 ) -> jnp.ndarray:
     """Alignment-error field over the full rotation grid.
 
@@ -100,7 +101,7 @@ def score_rotation_field(
 
         scores = rotation_scores_pallas(
             source, source_mask, target, target_mask, rots,
-            precision=precision,
+            precision=precision, method=method,
         ).astype(source.dtype)
         return scores.reshape(steps, steps, steps)
 
@@ -139,7 +140,7 @@ def local_minima_mask(field: jnp.ndarray, radius: int) -> jnp.ndarray:
     return field <= pooled
 
 
-@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend"))
+@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend", "method"))
 def coarse_align(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -153,6 +154,7 @@ def coarse_align(
     chunk: int = 64,
     precision: str = "highest",
     backend: str = "auto",
+    method: str = "vpu",
 ) -> CoarseResult:
     """Score the grid, extract local minima, rank candidates by error.
 
@@ -164,7 +166,7 @@ def coarse_align(
     """
     field = score_rotation_field(
         source, source_mask, target, target_mask, steps=steps, span=span,
-        chunk=chunk, precision=precision, backend=backend,
+        chunk=chunk, precision=precision, backend=backend, method=method,
     )
     is_min = local_minima_mask(field, radius)
 

@@ -97,6 +97,7 @@ def register_resampled(
         chunk=cfg.rotation_chunk,
         precision=cfg.coarse_precision,
         backend=cfg.coarse_backend,
+        method=cfg.coarse_method,
     )
 
     # 4. Batched multi-start ICP over all candidate angles at once.
@@ -110,9 +111,18 @@ def register_resampled(
 
         tgt_normals = estimate_normals(target_points, target_mask)
 
+    # Backend resolution (see KSSICPConfig.icp_nn_backend): the VPU kernel
+    # wins for many small screening lanes on TPU; batched XLA matmuls win
+    # for the few big full-resolution lanes (refine / "full" mode).
+    on_tpu = jax.default_backend() == "tpu"
     nn_backend = cfg.icp_nn_backend
     if nn_backend == "auto":
-        nn_backend = "xla"  # see KSSICPConfig.icp_nn_backend
+        nn_backend = (
+            "pallas" if on_tpu and cfg.multistart_mode == "two_phase" else "xla"
+        )
+    refine_nn_backend = cfg.refine_nn_backend or "auto"
+    if refine_nn_backend == "auto":
+        refine_nn_backend = "xla"
 
     if cfg.multistart_mode == "two_phase":
         # Screen every candidate with a short, subsampled solve. FPS emits
@@ -140,7 +150,7 @@ def register_resampled(
         sel = jnp.argsort(fit1.at[0].set(-jnp.inf))[:n_refine]
         refine_icp = partial(icp, precision=cfg.icp_precision,
                              variant=cfg.icp_variant, target_normals=tgt_normals,
-                             nn_backend=nn_backend)
+                             nn_backend=refine_nn_backend)
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
             rotated[sel], source_mask, target_points, target_mask, params,
             res1.rotation[sel], res1.translation[sel],
