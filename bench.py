@@ -8,10 +8,11 @@ pre-shape align (recovers the scale), 512-rotation coarse search,
 multi-start ICP — batched and jitted as one program. Prints ONE JSON line:
   {"metric": ..., "value": pairs/s/chip, "unit": "pairs/s", "vs_baseline": x}
 
-Baseline: the reference publishes no numbers (BASELINE.md). Its own timers
-put a single pair at ~10 s on a desktop CPU (512 rotations x 2000 serial
-k-d-tree queries + multi-start PCL ICP); we use 0.1 pairs/s as the
-reference baseline estimate — documented in BASELINE.md and revisable.
+Baseline: MEASURED by the CPU oracle (kss_icp_tpu/oracle.py, a faithful
+numpy/scipy replica of the reference pipeline) — scripts/measure_baseline.py
+writes BASELINE_ORACLE.json and this script reads pairs_per_sec from it.
+Falls back to the 0.1 pairs/s estimate (single pair ~10 s on a desktop CPU
+per the reference's own clock() protocol) if the oracle file is absent.
 """
 
 from __future__ import annotations
@@ -24,7 +25,17 @@ from pathlib import Path
 
 import numpy as np
 
-REFERENCE_PAIRS_PER_SEC = 0.1  # see module docstring
+_ORACLE_JSON = Path(__file__).resolve().parent / "BASELINE_ORACLE.json"
+
+
+def reference_pairs_per_sec() -> tuple[float, str]:
+    if _ORACLE_JSON.exists():
+        try:
+            v = json.loads(_ORACLE_JSON.read_text())["pairs_per_sec"]
+            return float(v), "measured (CPU oracle, BASELINE_ORACLE.json)"
+        except (KeyError, ValueError):
+            pass
+    return 0.1, "estimate (no BASELINE_ORACLE.json)"
 DATA_ROOT = Path("/root/reference/PS_AIS_Simplification/data")
 SETS = [("registration", ""), ("registration_scale", "s/")]
 FULL_PAD = 8192
@@ -157,11 +168,14 @@ def main() -> int:
     for i, (name, _, _) in enumerate(pairs):
         log(f"  {name:10s} rmse={rmses[i]:.5f} fitness={fit_np[i]:.6f}")
 
+    base_rate, base_src = reference_pairs_per_sec()
     result = {
         "metric": "registration_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 4),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
+        "vs_baseline": round(pairs_per_sec / base_rate, 2),
+        "baseline_pairs_per_sec": base_rate,
+        "baseline_source": base_src,
         "batch": b,
         "median_rmse": round(float(np.median(rmses)), 6),
     }
