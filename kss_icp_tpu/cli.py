@@ -416,17 +416,21 @@ def main(argv=None) -> int:
                    help="skip models whose <name>Align.xyz already exists")
     p.add_argument("--batched", action="store_true",
                    help="register the whole list as one jitted program")
-    p.add_argument("--escalate", action="store_true",
+    p.add_argument("--escalate", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="with --batched: re-register high-fitness pairs on "
-                        "a finer (16^3) rotation grid")
+                        "a finer (16^3) rotation grid (default: on, via "
+                        "cfg.auto_escalate; --no-escalate disables)")
     add_common(p)
     p.set_defaults(fn=_batch)
 
     p = sub.add_parser("serve", help="JSONL registration server on stdin/stdout")
     p.add_argument("--full-pad", type=int, default=8192,
                    help="static padded cloud size (fixed = one compile)")
-    p.add_argument("--escalate", action="store_true",
-                   help="re-register high-fitness requests on a 16^3 grid")
+    p.add_argument("--escalate", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="re-register high-fitness requests on a 16^3 grid "
+                        "(default: on, via cfg.auto_escalate)")
     add_common(p)
     p.set_defaults(fn=_serve)
 

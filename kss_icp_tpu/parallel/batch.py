@@ -9,7 +9,6 @@ the TPU answer to the reference's one-pair-at-a-time Main_KSS_List loop
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -74,8 +73,8 @@ def register_many(
     cfg: KSSICPConfig = DEFAULT_CONFIG,
     mesh: Optional[Mesh] = None,
     full_pad: int = 8192,
-    escalate: bool = False,
-    escalate_threshold: float = 3e-3,
+    escalate: Optional[bool] = None,
+    escalate_threshold: Optional[float] = None,
     escalate_cfg: Optional[KSSICPConfig] = None,
 ):
     """Host-facing batched sweep: [(source (Ns,3), target (Nt,3)), ...] of
@@ -88,18 +87,26 @@ def register_many(
     returns per-pair MSE/RMSE/MAE. This is the Main_KSS_List sweep as a
     single XLA program.
 
-    escalate=True adds a second pass the reference does not have: pairs
-    whose final ICP fitness exceeds `escalate_threshold` (mean squared NN
-    distance — well-aligned unit-scale pairs land at 2e-4..1.5e-3) are
-    re-registered on a finer rotation grid (default: 16^3 = 4096 rotations
-    with a wider candidate budget) and the better fitness wins per pair.
-    Measured on 30 adversarial compound-rotation pairs: 0 failures vs 2 for
-    the reference-full protocol (BASELINE.md)."""
+    Escalation (default ON via cfg.auto_escalate) adds a second pass the
+    reference does not have: pairs whose final ICP fitness exceeds
+    cfg.escalate_threshold (mean squared NN distance — well-aligned
+    unit-scale pairs land at 2e-4..1.5e-3) are re-registered on a finer
+    rotation grid (cfg.escalation_config(): 16^3 = 4096 rotations with a
+    wider candidate budget) and the better fitness wins per pair. Measured
+    on 30 adversarial compound-rotation pairs: 0 failures vs 2 for the
+    reference-full protocol (BASELINE.md). The flagged subset is padded by
+    repetition to a multiple of cfg.escalate_pad so the second pass compiles
+    a bounded set of program shapes."""
     import numpy as np
 
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
     from kss_icp_tpu.models.kss_icp import resample_pairs
+
+    if escalate is None:
+        escalate = cfg.auto_escalate
+    if escalate_threshold is None:
+        escalate_threshold = cfg.escalate_threshold
 
     def pad(cloud):
         pts = np.asarray(cloud, np.float32)[:full_pad]
@@ -127,15 +134,19 @@ def register_many(
         fit = np.asarray(res.fitness)
         bad = np.nonzero(fit > escalate_threshold)[0]
         if bad.size:
-            ecfg = escalate_cfg or dataclasses.replace(
-                cfg, rotation_steps=16, max_candidates=16,
-                refine_candidates=max(cfg.refine_candidates, 4),
-                coarse_points=0,
+            ecfg = escalate_cfg or cfg.escalation_config()
+            # Re-register only the flagged pairs, padded by repetition to a
+            # multiple of escalate_pad: a fixed shape ladder instead of one
+            # shape-specialized compile per flagged-count (no mesh: the
+            # subset is small and ragged relative to the device count).
+            m = max(ecfg.escalate_pad, 1)
+            n_pad = min(((bad.size + m - 1) // m) * m, fit.shape[0])
+            sel = np.concatenate(
+                [bad, np.repeat(bad[:1], max(n_pad - bad.size, 0))]
             )
-            # Re-register only the flagged pairs (no mesh: the subset is
-            # small and ragged relative to the device count).
-            res2 = register_batch(sp[bad], sm[bad], tp[bad], tm[bad], ecfg)
-            better = np.nonzero(np.asarray(res2.fitness) < fit[bad])[0]
+            res2 = register_batch(sp[sel], sm[sel], tp[sel], tm[sel], ecfg)
+            fit2 = np.asarray(res2.fitness)[: bad.size]
+            better = np.nonzero(fit2 < fit[bad])[0]
             if better.size:
                 win = jnp.asarray(bad[better])
                 sub = jnp.asarray(better)

@@ -1,0 +1,56 @@
+"""Adversarial stress corpus: compound-rotation synthetic pairs.
+
+The bundled golden pairs (data/registration/transfer.txt) only use
+single-axis rotations <= 1.56 rad. This corpus applies compound 3-axis
+rotations + scale + translation to the bundled models — the regime where
+the rotation grid's local-minima list earns its keep
+(initRegistrationKSS.hpp:276-289) and where auto-escalation
+(KSSICPConfig.auto_escalate) is required for 30/30 success (BASELINE.md).
+Shared by scripts/stress_test.py and bench.py's robustness tail.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+DATA = Path("/root/reference/PS_AIS_Simplification/data/registration")
+MODELS = ["Bunny", "Cat", "Dog", "Girl", "Horse", "ant", "hand", "woodMan",
+          "Angel", "Armadillo"]
+
+# (rx, ry, rz, scale, shift) ground-truth similarity perturbations.
+HARD = [
+    (2.8, 1.9, 0.9, 1.7, 0.4),
+    (3.1, 0.7, 2.4, 0.6, -0.8),
+    (1.4, 2.9, 1.8, 2.3, 1.2),
+]
+
+
+def rot_xyz(ax: float, ay: float, az: float) -> np.ndarray:
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def stress_corpus(
+    models: List[str] = MODELS, data: Path = DATA,
+) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """[(name, source, target), ...] — 3 hard perturbations per model.
+
+    Synthetic pairs: source = (target @ R^T) * s + t, so perfect recovery
+    means RMSE at the resampling-density floor (~0.01-0.03)."""
+    from kss_icp_tpu.io.formats import load_points
+
+    out = []
+    for name in models:
+        tgt = np.asarray(load_points(data / f"{name}.wlop"), np.float32)
+        for k, (ax, ay, az, s, t) in enumerate(HARD):
+            r = rot_xyz(ax, ay, az)
+            out.append((f"{name}/h{k}", (tgt @ r.T) * s + t, tgt))
+    return out

@@ -23,27 +23,9 @@ from pathlib import Path
 
 import numpy as np
 
-DATA = Path("/root/reference/PS_AIS_Simplification/data/registration")
-MODELS = ["Bunny", "Cat", "Dog", "Girl", "Horse", "ant", "hand", "woodMan",
-          "Angel", "Armadillo"]
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 FULL_PAD = 8192
-
-# (rx, ry, rz, scale, shift) ground-truth similarity perturbations.
-HARD = [
-    (2.8, 1.9, 0.9, 1.7, 0.4),
-    (3.1, 0.7, 2.4, 0.6, -0.8),
-    (1.4, 2.9, 1.8, 2.3, 1.2),
-]
-
-
-def rot_xyz(ax, ay, az):
-    cx, sx = np.cos(ax), np.sin(ax)
-    cy, sy = np.cos(ay), np.sin(ay)
-    cz, sz = np.cos(az), np.sin(az)
-    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-    return rz @ ry @ rx
 
 
 def main() -> int:
@@ -68,7 +50,6 @@ def main() -> int:
 
     from kss_icp_tpu.config import KSSICPConfig
     from kss_icp_tpu.core.transforms import apply_similarity
-    from kss_icp_tpu.io.formats import load_points
     from kss_icp_tpu.metrics import registration_measure_padded
     from kss_icp_tpu.models.kss_icp import register_resampled, resample_batch
 
@@ -89,14 +70,13 @@ def main() -> int:
         m[:n] = True
         return out, m
 
+    from kss_icp_tpu.stress import stress_corpus
+
     srcs, tgts, names = [], [], []
-    for name in MODELS:
-        tgt = load_points(DATA / f"{name}.wlop")
-        for k, (ax, ay, az, s, t) in enumerate(HARD):
-            r = rot_xyz(ax, ay, az)
-            srcs.append(pad((tgt @ r.T) * s + t))
-            tgts.append(pad(tgt))
-            names.append(f"{name}/h{k}")
+    for name, s_pts, t_pts in stress_corpus():
+        srcs.append(pad(s_pts))
+        tgts.append(pad(t_pts))
+        names.append(name)
 
     src = jnp.asarray(np.stack([x[0] for x in srcs]))
     sm = jnp.asarray(np.stack([x[1] for x in srcs]))
