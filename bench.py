@@ -168,18 +168,17 @@ def main() -> int:
     for i, (name, _, _) in enumerate(pairs):
         log(f"  {name:10s} rmse={rmses[i]:.5f} fitness={fit_np[i]:.6f}")
 
-    # Robustness tail: the adversarial stress corpus (30 compound-rotation
-    # pairs) through the SAME compiled program in batch-b chunks, with
-    # fitness-flagged pairs auto-escalated to the 16^3 grid (one extra
-    # program, persistent-cached). Reported in the bench JSON.
-    def run_stress(threshold=0.05):
-        from kss_icp_tpu.stress import stress_corpus
+    # Extra corpora run through the SAME compiled program in batch-b chunks,
+    # with fitness-flagged pairs auto-escalated to the 16^3 grid (one extra
+    # program, persistent-cached). Reported in the bench JSON:
+    #   - stress: 30 adversarial compound-rotation pairs (robustness);
+    #   - remesh: 25 perturbed Remesh/Advancing OFF models (wider accuracy).
+    def _row_set(full, i, row):
+        full = full.copy()
+        full[i] = row
+        return full
 
-        try:
-            corpus = stress_corpus()
-        except Exception as e:  # corpus data unavailable -> skip, don't fail bench
-            log(f"stress corpus unavailable: {e}")
-            return {}
+    def run_corpus(corpus, label, threshold=0.05):
         n = len(corpus)
         chunks = (n + b - 1) // b
         total = chunks * b
@@ -225,25 +224,28 @@ def main() -> int:
             rm_parts.append(np.asarray(measure_all(
                 tr_c, *map(jnp.asarray, (sp[sl], spm[sl], tp[sl], tpm[sl])))))
         rm = np.concatenate(rm_parts)[:n]
-        stress_dt = time.perf_counter() - t0
+        corpus_dt = time.perf_counter() - t0
         fails = [corpus[i][0] for i in np.nonzero(rm > threshold)[0]]
-        log(f"stress: {n} pairs, escalated={flagged.size}, "
+        log(f"{label}: {n} pairs, escalated={flagged.size}, "
             f"failures={len(fails)} {fails}, median rmse={np.median(rm):.5f}, "
-            f"{stress_dt:.1f}s (incl. escalation compile on first run)")
+            f"{corpus_dt:.1f}s (incl. escalation compile on first run)")
         return {
-            "stress_pairs": n,
-            "stress_escalated": int(flagged.size),
-            "stress_failures": len(fails),
-            "stress_success_rate": round(1.0 - len(fails) / n, 4),
-            "stress_median_rmse": round(float(np.median(rm)), 6),
+            f"{label}_pairs": n,
+            f"{label}_escalated": int(flagged.size),
+            f"{label}_failures": len(fails),
+            f"{label}_success_rate": round(1.0 - len(fails) / n, 4),
+            f"{label}_median_rmse": round(float(np.median(rm)), 6),
         }
 
-    def _row_set(full, i, row):
-        full = full.copy()
-        full[i] = row
-        return full
+    extra_results = {}
+    try:
+        from kss_icp_tpu.stress import remesh_corpus, stress_corpus
 
-    stress_result = run_stress()
+        extra_results.update(run_corpus(stress_corpus(), "stress"))
+        extra_results.update(run_corpus(
+            [(nm, s, t) for nm, s, t, _ in remesh_corpus()], "remesh"))
+    except Exception as e:  # corpus data unavailable -> skip, don't fail bench
+        log(f"extra corpus unavailable: {e}")
 
     base_rate, base_src = reference_pairs_per_sec()
     result = {
@@ -255,7 +257,7 @@ def main() -> int:
         "baseline_source": base_src,
         "batch": b,
         "median_rmse": round(float(np.median(rmses)), 6),
-        **stress_result,
+        **extra_results,
     }
     print(json.dumps(result), flush=True)
     return 0
