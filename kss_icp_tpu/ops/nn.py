@@ -123,17 +123,117 @@ def masked_mean_nn_sqdist(
     return jnp.sum(d2 * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 
 
-@partial(jax.jit, static_argnames=("k",))
+# Dense (Q, R) matrices beyond this many elements auto-route to the
+# streaming path: 2^25 f32 = 128 MB — comfortably HBM/host-RAM resident,
+# while 10^5+-point scans (the reference's Room/block regime,
+# Method_Octree.hpp:16) would need 40+ GB dense.
+_DENSE_KNN_LIMIT = 1 << 25
+
+
+@partial(jax.jit, static_argnames=("k", "query_chunk", "ref_chunk"))
 def knn(
     query: jnp.ndarray,
     ref: jnp.ndarray,
     ref_mask: jnp.ndarray,
     k: int,
+    query_chunk: int | None = None,
+    ref_chunk: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN sq-distances and indices (ascending). Replaces the reference's
     12-NN radius estimation (ballRegionCompute.hpp:477-530) and 20-NN normal
-    neighborhoods (normalCompute.hpp:324-336)."""
-    d2 = pairwise_sqdist(query, ref)
-    d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
-    neg_d2, idx = jax.lax.top_k(-d2, k)
-    return -neg_d2, idx
+    neighborhoods (normalCompute.hpp:324-336).
+
+    Small problems use one dense masked matmul + top_k. When the (Q, R)
+    matrix would exceed ~128 MB — the full-resolution-scan regime the
+    reference handles with its octree (ballRegionCompute.hpp:477-530,
+    Method_Octree.hpp:16) — the computation streams: query chunks x
+    reference tiles with a running top-k merge, so peak memory is
+    O(query_chunk * ref_chunk) regardless of cloud size. Explicit
+    query_chunk/ref_chunk force the streaming path."""
+    q, r = query.shape[-2], ref.shape[-2]
+    if (
+        query_chunk is None
+        and ref_chunk is None
+        and q * r <= _DENSE_KNN_LIMIT
+    ):
+        d2 = pairwise_sqdist(query, ref)
+        d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
+        neg_d2, idx = jax.lax.top_k(-d2, k)
+        return -neg_d2, idx
+    return knn_streaming(
+        query, ref, ref_mask, k,
+        query_chunk=query_chunk or 2048,
+        ref_chunk=ref_chunk or 16384,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "query_chunk", "ref_chunk"))
+def knn_streaming(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    k: int,
+    query_chunk: int = 2048,
+    ref_chunk: int = 16384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming k-NN: identical results to the dense path, O(qc * rc) peak
+    memory. lax.map over query chunks; inside, lax.scan over reference tiles
+    keeps a running (qc, k) best set merged by top_k over the concatenated
+    candidates (the k>1 generalization of the Pallas running-min 1-NN,
+    ops/nn_pallas.py). Single-cloud layout (Q, 3)/(R, 3) — vmap for batches.
+    """
+    if query.ndim != 2:
+        raise ValueError("knn_streaming expects unbatched (Q, 3) queries; vmap it")
+    q, r = query.shape[0], ref.shape[0]
+    dtype = query.dtype
+
+    qc = min(query_chunk, q)
+    rc = min(ref_chunk, r)
+    k_eff = min(k, r)
+
+    # Pad both axes to chunk multiples (padding never wins: masked to +inf).
+    q_pad = (-q) % qc
+    r_pad = (-r) % rc
+    qp = jnp.pad(query, ((0, q_pad), (0, 0)))
+    rp = jnp.pad(ref, ((0, r_pad), (0, 0)))
+    rm = jnp.pad(ref_mask, (0, r_pad))
+
+    n_tiles = (r + r_pad) // rc
+    tiles_pts = rp.reshape(n_tiles, rc, 3)
+    tiles_mask = rm.reshape(n_tiles, rc)
+    tile_off = jnp.arange(n_tiles, dtype=jnp.int32) * rc
+
+    kk = min(k_eff, rc)
+
+    def per_query_chunk(qblock):
+        def tile_step(carry, tile):
+            best_d2, best_idx = carry
+            pts, msk, off = tile
+            d2 = pairwise_sqdist(qblock, pts)
+            d2 = jnp.where(msk[None, :], d2, _BIG)
+            nd2, nidx = jax.lax.top_k(-d2, kk)
+            cat_d2 = jnp.concatenate([best_d2, -nd2], axis=-1)
+            cat_ix = jnp.concatenate(
+                [best_idx, (nidx + off).astype(jnp.int32)], axis=-1
+            )
+            md2, sel = jax.lax.top_k(-cat_d2, k_eff)
+            mix = jnp.take_along_axis(cat_ix, sel, axis=-1)
+            return (-md2, mix), None
+
+        init = (
+            jnp.full((qblock.shape[0], k_eff), _BIG, dtype),
+            jnp.zeros((qblock.shape[0], k_eff), jnp.int32),
+        )
+        (d2, idx), _ = jax.lax.scan(
+            tile_step, init, (tiles_pts, tiles_mask, tile_off)
+        )
+        return d2, idx
+
+    qblocks = qp.reshape((q + q_pad) // qc, qc, 3)
+    d2, idx = jax.lax.map(per_query_chunk, qblocks)
+    d2 = d2.reshape(-1, k_eff)[:q]
+    idx = idx.reshape(-1, k_eff)[:q]
+    if k_eff < k:  # degenerate tiny-reference case: pad out to k columns
+        d2 = jnp.pad(d2, ((0, 0), (0, k - k_eff)), constant_values=_BIG)
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    return d2, idx
