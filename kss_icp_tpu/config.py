@@ -27,6 +27,13 @@ class KSSICPConfig:
     angle_span: float = 6.3
     kernel_radius: int = 2           # local-minima cube radius (initRegistrationKSS.hpp:35)
     max_candidates: int = 32         # cap on multi-start local minima (reference: unbounded)
+    # Field error metric: "ave" = mean 1-NN distance (the reference main
+    # path, initRegistrationKSS.hpp:430-450); "max" = max squared 1-NN
+    # distance (:406-428); "diff" = max − mean distance (:452-479). The alt
+    # metrics are dead code in the reference main path but declared
+    # capability surface; they score on the XLA path (the Pallas field
+    # kernel implements "ave").
+    coarse_error_metric: str = "ave"
 
     # --- Resampling (KSS_ICP.hpp:57-66) ---
     # Working size = min(|S|,|T|)//2 clamped to max_resample_points.
@@ -36,6 +43,15 @@ class KSSICPConfig:
     # (ops/resample_pallas.py), "xla" = vmapped fori_loop, "auto" = pallas
     # on TPU. Both return identical index sequences.
     fps_backend: str = "auto"
+    # Resampling algorithm: "fps" = global farthest-point sampling (strictly
+    # more uniform; the TPU default) | "aivs" = the reference's default
+    # box-stratified sampler (ops/aivs.py — quota'd lockstep per-box FPS +
+    # accurate cut), jit/vmap-friendly and packed in pick-round order so the
+    # coarse_points/screen_points prefix-subsample contract still holds.
+    resampler: str = "fps"
+    aivs_boxes_per_axis: int = 0     # 0 = reference ladder from cloud size
+    aivs_max_rounds: int = 128       # lockstep FPS rounds (max per-box quota)
+    aivs_max_cuts: int = 256         # accurate-cut budget (round-up slack)
 
     # --- ICP refinement (KSS_ICP.hpp:156-159, Main_KSS_ICP.cpp:81) ---
     max_icp_iterations: int = 1000

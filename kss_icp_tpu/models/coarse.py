@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from kss_icp_tpu.core.transforms import euler_xyz_matrix
-from kss_icp_tpu.ops.nn import masked_mean_nn_distance
+from kss_icp_tpu.ops.nn import masked_nn_error
 
 _BIG = 1e30
 
@@ -68,7 +68,7 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend", "method"))
+@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend", "method", "error_metric"))
 def score_rotation_field(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -81,12 +81,16 @@ def score_rotation_field(
     precision: str = "highest",
     backend: str = "auto",
     method: str = "vpu",
+    error_metric: str = "ave",
 ) -> jnp.ndarray:
     """Alignment-error field over the full rotation grid.
 
     source must already be pre-shape aligned (middle_align applied).
-    Returns (steps, steps, steps) with field[i, j, k] = mean 1-NN distance of
-    Rz(k)·Ry(j)·Rx(i)·source to target (= initRegistration_Error_Ave).
+    Returns (steps, steps, steps) with field[i, j, k] = the alignment error
+    of Rz(k)·Ry(j)·Rx(i)·source to target. error_metric picks among the
+    reference's three field flavors (ops/nn.masked_nn_error): "ave" (the
+    main-path default, initRegistration_Error_Ave), "max"
+    (initRegistration_Error), "diff" (initRegistration_Error_Diff).
 
     backend: "pallas" fuses rotate/distance/min/mean in VMEM (ops/
     coarse_pallas.py — no (C, P, T) HBM tensor); "xla" is the chunked
@@ -96,7 +100,9 @@ def score_rotation_field(
     rots = euler_xyz_matrix(angles)  # (C_total, 3, 3)
     total = rots.shape[0]
 
-    if _resolve_backend(backend) == "pallas":
+    # The fused Pallas kernel implements the main-path "ave" metric; the
+    # alt metrics (dead code in the reference main path) ride the XLA path.
+    if _resolve_backend(backend) == "pallas" and error_metric == "ave":
         from kss_icp_tpu.ops.coarse_pallas import rotation_scores_pallas
 
         scores = rotation_scores_pallas(
@@ -114,9 +120,9 @@ def score_rotation_field(
     def score_chunk(r_chunk):
         rotated = jnp.einsum("cij,pj->cpi", r_chunk, source,
                              precision=jax.lax.Precision.HIGHEST)
-        return masked_mean_nn_distance(
+        return masked_nn_error(
             rotated, source_mask[None, :], target[None, :, :],
-            target_mask[None, :], precision=prec,
+            target_mask[None, :], metric=error_metric, precision=prec,
         )
 
     scores = jax.lax.map(score_chunk, rots.reshape(total // chunk, chunk, 3, 3))
@@ -140,7 +146,7 @@ def local_minima_mask(field: jnp.ndarray, radius: int) -> jnp.ndarray:
     return field <= pooled
 
 
-@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend", "method"))
+@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend", "method", "error_metric"))
 def coarse_align(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -155,6 +161,7 @@ def coarse_align(
     precision: str = "highest",
     backend: str = "auto",
     method: str = "vpu",
+    error_metric: str = "ave",
 ) -> CoarseResult:
     """Score the grid, extract local minima, rank candidates by error.
 
@@ -167,6 +174,7 @@ def coarse_align(
     field = score_rotation_field(
         source, source_mask, target, target_mask, steps=steps, span=span,
         chunk=chunk, precision=precision, backend=backend, method=method,
+        error_metric=error_metric,
     )
     is_min = local_minima_mask(field, radius)
 

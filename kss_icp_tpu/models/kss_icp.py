@@ -98,6 +98,7 @@ def register_resampled(
         precision=cfg.coarse_precision,
         backend=cfg.coarse_backend,
         method=cfg.coarse_method,
+        error_metric=cfg.coarse_error_metric,
     )
 
     # 4. Batched multi-start ICP over all candidate angles at once.
@@ -210,10 +211,24 @@ def resample_batch(
     dispatches and is latency-bound. Results are identical.
     """
     p = pad if pad is not None else cfg.resample_pad
+    n = points.shape[-2]
+    if cfg.resampler == "aivs":
+        # The reference's default sampler (Method_AIVS_SimPro.hpp), jittable
+        # and packed in pick-round order (ops/aivs.aivs_resample_packed).
+        from kss_icp_tpu.ops.aivs import aivs_resample_packed
+        from kss_icp_tpu.ops.spatial import estimate_box_scale
+
+        nb = cfg.aivs_boxes_per_axis or estimate_box_scale(n)
+        pts, smask = jax.vmap(
+            lambda pt, m, k: aivs_resample_packed(
+                pt, m, k, p, nb, cfg.aivs_max_rounds, cfg.aivs_max_cuts
+            )
+        )(points, mask, pnumber)
+        smask = smask & (jnp.arange(p)[None, :] < pnumber[:, None])
+        return pts * smask[..., None].astype(points.dtype), smask
     # The lockstep kernel keeps coordinates + running distances VMEM-resident
     # (~6 f32 planes of (B_chunk, N)): chunk the batch to ~12 MB of planes,
     # and fall back to the XLA loop for clouds too wide for even one row.
-    n = points.shape[-2]
     max_b = (524288 // max(n, 1)) // 8 * 8
     if _fps_backend(cfg) == "pallas" and max_b >= 8:
         from kss_icp_tpu.ops.resample_pallas import fps_batch_pallas

@@ -110,6 +110,38 @@ def masked_mean_nn_distance(
     return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 
 
+def masked_nn_error(
+    query: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    metric: str = "ave",
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Rotation-grid alignment error in the reference's three flavors
+    (initRegistrationKSS.hpp):
+      - "ave":  mean 1-NN distance        (initRegistration_Error_Ave :430-450)
+      - "max":  max 1-NN SQUARED distance (initRegistration_Error :406-428 —
+                the reference never takes the sqrt there, reproduced)
+      - "diff": max 1-NN distance − mean  (initRegistration_Error_Diff :452-479)
+    """
+    if metric == "ave":
+        return masked_mean_nn_distance(
+            query, query_mask, ref, ref_mask, precision=precision
+        )
+    d2 = pairwise_sqdist(query, ref, precision=precision)
+    d2 = jnp.where(ref_mask[..., None, :], d2, _BIG)
+    min_d2 = jnp.min(d2, axis=-1)
+    if metric == "max":
+        return jnp.max(jnp.where(query_mask, min_d2, -_BIG), axis=-1)
+    if metric == "diff":
+        d = jnp.sqrt(min_d2)
+        w = query_mask.astype(d.dtype)
+        mean = jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+        return jnp.max(jnp.where(query_mask, d, -_BIG), axis=-1) - mean
+    raise ValueError(f"unknown error metric {metric!r}")
+
+
 def masked_mean_nn_sqdist(
     query: jnp.ndarray,
     query_mask: jnp.ndarray,

@@ -37,19 +37,32 @@ def grid_simplify(
     return voxel_downsample(points, mask, jnp.asarray(cell_size, points.dtype))
 
 
-@partial(jax.jit, static_argnames=("max_cluster_size",))
+@partial(jax.jit, static_argnames=("max_cluster_size", "max_variation"))
 def hierarchy_simplify(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     max_cluster_size: int = 10,
+    max_variation: float = 1.0 / 3.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Variance-split hierarchy clustering; keep the point nearest each
     cluster barycenter. Returns (points, keep_mask) of the input's padded
-    shape. Static depth = ceil(log2(P / max_cluster_size)) levels.
+    shape.
+
+    A cluster splits while its size exceeds `max_cluster_size` OR its
+    surface variation λ0/(λ0+λ1+λ2) (smallest covariance eigenvalue over
+    the trace) exceeds `max_variation` — CGAL hierarchy_simplify_point_set's
+    two stop criteria (Method_CGAL.hpp:88-121, `size(paSize).
+    maximum_variation(surVar)`). 1/3 is the eigenvalue-ratio maximum, so the
+    default disables the variation stop (size-only, CGAL's default too).
+    Static depth ceil(log2(P)): enough capacity for fully unbalanced splits
+    (a cluster stops splitting the moment it satisfies both criteria, so
+    extra levels are no-ops — the earlier P/max_cluster_size bound silently
+    under-split skewed clouds).
     """
     p = points.shape[0]
     dtype = points.dtype
-    depth = max(1, math.ceil(math.log2(max(2, p / max_cluster_size))))
+    depth = max(1, math.ceil(math.log2(max(2, p))))
+    use_variation = max_variation < 1.0 / 3.0
     w = mask.astype(dtype)
 
     cluster = jnp.zeros((p,), jnp.int32)  # all valid points start together
@@ -62,10 +75,10 @@ def hierarchy_simplify(
             jax.ops.segment_sum(points * w[:, None], cluster, num_segments=n_seg)
             / count_safe[:, None]
         )
-        centered = points - mean[cluster]
+        centered = (points - mean[cluster]) * w[:, None]
         var = (
             jax.ops.segment_sum(
-                centered * centered * w[:, None], cluster, num_segments=n_seg
+                centered * centered, cluster, num_segments=n_seg
             )
             / count_safe[:, None]
         )
@@ -73,8 +86,23 @@ def hierarchy_simplify(
         split_axis = axis[cluster]  # (p,)
         coord = jnp.take_along_axis(points, split_axis[:, None], axis=1)[:, 0]
         threshold = jnp.take_along_axis(mean, axis[:, None], axis=1)[:, 0][cluster]
-        # Only split clusters still above the size cap.
-        needs_split = (count > max_cluster_size)[cluster]
+        # Split while above the size cap OR (surVar stop active) above the
+        # surface-variation cap — a splittable cluster needs >= 2 points.
+        needs_split_seg = count > max_cluster_size
+        if use_variation:
+            # Full 3x3 covariance eigenvalues per cluster.
+            outer = jnp.einsum("pi,pj->pij", centered, centered)
+            cov = (
+                jax.ops.segment_sum(outer, cluster, num_segments=n_seg)
+                / count_safe[:, None, None]
+            )
+            eig = jnp.linalg.eigvalsh(cov)  # ascending
+            trace = jnp.maximum(jnp.sum(eig, axis=-1), jnp.finfo(dtype).tiny)
+            variation = eig[:, 0] / trace
+            needs_split_seg = needs_split_seg | (
+                (variation > max_variation) & (count > 1)
+            )
+        needs_split = needs_split_seg[cluster]
         side = jnp.where(needs_split & (coord > threshold), 1, 0)
         cluster = cluster * 2 + side
 

@@ -96,3 +96,50 @@ def test_coarse_align_recovers_grid_rotation(rng):
     )
     assert bool(res.candidate_mask[0])
     assert float(res.candidate_errors[0]) < 1e-3
+
+
+def test_error_metric_variants(rng):
+    # masked_nn_error reproduces all three reference field flavors
+    # (initRegistrationKSS.hpp:406-479) against a numpy oracle.
+    from kss_icp_tpu.ops.nn import masked_nn_error
+
+    q = rng.normal(size=(40, 3)).astype(np.float32)
+    r = rng.normal(size=(64, 3)).astype(np.float32)
+    qm = np.ones(40, bool); qm[35:] = False
+    rm = np.ones(64, bool); rm[60:] = False
+    full = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    full[:, ~rm] = np.inf
+    min_d2 = full.min(1)[qm]
+    d = np.sqrt(min_d2)
+    expect = {
+        "ave": d.mean(),
+        "max": min_d2.max(),          # the reference never sqrts this one
+        "diff": d.max() - d.mean(),
+    }
+    for metric, want in expect.items():
+        got = float(masked_nn_error(
+            jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r), jnp.asarray(rm),
+            metric=metric,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5), metric
+
+
+def test_coarse_error_metric_field_shapes(rng):
+    # All three metrics produce a usable field and the same global best on a
+    # clean single-axis rotation.
+    src = np.asarray(random_cloud(rng, 300), np.float32)
+    ang = 2 * 6.3 / 4
+    c, s = np.cos(ang), np.sin(ang)
+    rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    tgt = src @ rz.T  # rotating src by +ang about z aligns them
+    bests = {}
+    for metric in ("ave", "max", "diff"):
+        res = coarse_align(
+            jnp.asarray(src), jnp.ones(300, bool),
+            jnp.asarray(tgt), jnp.ones(300, bool),
+            steps=4, max_candidates=4, error_metric=metric,
+        )
+        assert res.field.shape == (4, 4, 4)
+        bests[metric] = np.asarray(res.best_angles)
+    np.testing.assert_allclose(bests["ave"], [0, 0, ang], atol=1e-6)
+    np.testing.assert_allclose(bests["max"], bests["ave"], atol=1e-6)

@@ -50,3 +50,29 @@ def test_octree_target_scaling(rng):
     _, keep_big = octree_simplify(jnp.asarray(pts), jnp.ones(4000, bool),
                                   target_points=2000)
     assert int(np.asarray(keep_small).sum()) < int(np.asarray(keep_big).sum())
+
+
+def test_hierarchy_simplify_variation_stop(rng):
+    # The surVar criterion (Method_CGAL.hpp:88): a curved cloud must split
+    # deeper (=> keep more representatives) when max_variation is tightened,
+    # even though every cluster is already under the size cap.
+    from kss_icp_tpu.ops.simplify import hierarchy_simplify
+
+    n = 512
+    u = rng.uniform(-1, 1, n)
+    v = rng.uniform(-1, 1, n)
+    pts = np.stack([u, v, 0.5 * np.sin(4 * u) * np.cos(4 * v)], -1).astype(np.float32)
+    mask = np.ones(n, bool)
+    _, keep_size_only = hierarchy_simplify(
+        jnp.asarray(pts), jnp.asarray(mask), max_cluster_size=256)
+    _, keep_var = hierarchy_simplify(
+        jnp.asarray(pts), jnp.asarray(mask), max_cluster_size=256,
+        max_variation=0.01)
+    assert int(keep_var.sum()) > int(keep_size_only.sum())
+    # Flat plane: variation ~0 everywhere, so the tight cap changes nothing.
+    flat = pts.copy(); flat[:, 2] = 0.0
+    _, k1 = hierarchy_simplify(jnp.asarray(flat), jnp.asarray(mask),
+                               max_cluster_size=64)
+    _, k2 = hierarchy_simplify(jnp.asarray(flat), jnp.asarray(mask),
+                               max_cluster_size=64, max_variation=0.01)
+    assert int(k1.sum()) == int(k2.sum())
