@@ -58,12 +58,13 @@ class KSSICPConfig:
     max_correspondence_distance: float = 1.0
     transformation_epsilon: float = 1e-10   # squared translation-delta threshold (PCL semantics)
     rotation_epsilon: float = 1e-10         # 1 - cos(theta_delta) threshold (PCL pairs it with the above)
-    # MSE-delta convergence gate. PCL treats euclideanFitnessEpsilon as an
-    # ABSOLUTE per-step MSE delta, which on unit-scale clouds fires after ~3
-    # iterations and freezes ICP far from the optimum (measured: RMSE 0.063
-    # vs 0.0001). Deliberate fix (SURVEY.md §7 "quirks to decide on"): default
-    # to a RELATIVE delta |mse - prev| / mse < eps; set
-    # fitness_epsilon_mode="absolute" for strict PCL parity.
+    # MSE-delta convergence gate. PCL 1.8 icp.hpp wires
+    # setEuclideanFitnessEpsilon to setRelativeMSE — a RELATIVE per-step
+    # correspondence-MSE delta — so "relative" IS PCL parity (verified by
+    # the CPU oracle, kss_icp_tpu/oracle.py). "absolute" implements the
+    # stricter absolute-delta reading, which on unit-scale clouds fires
+    # after ~3 iterations and freezes ICP far from the optimum (measured:
+    # RMSE 0.063 vs 0.0001) — kept as a knob, not the default.
     euclidean_fitness_epsilon: float = 0.001
     fitness_epsilon_mode: str = "relative"  # "relative" | "absolute"
     multistart_fitness_gate: float = 0.0005   # skip multi-start if judge fitness <= gate (KSS_ICP.hpp:99)
@@ -150,6 +151,15 @@ class KSSICPConfig:
     # exact ICP refinement), so scoring on a prefix trades field fidelity
     # for a ~linear cut in coarse-search cost. No reference analogue.
     coarse_points: int = 0
+    # TARGET points the rotation field scores against (0 = all). Same
+    # prefix-subsample argument on the reference side of the NN: the mean-NN
+    # error rises uniformly across rotations when the target thins, so the
+    # RANKING the field exists for is preserved. No reference analogue.
+    coarse_target_points: int = 0
+    # TARGET points the SCREENING ICP matches against (0 = all) — the
+    # screening solve only ranks candidates and warm-starts refinement, so
+    # its correspondences may use a target prefix too.
+    screen_target_points: int = 0
     nn_query_chunk: int = 4096       # query rows per NN chunk for big clouds
 
     @property

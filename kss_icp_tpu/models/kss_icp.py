@@ -85,11 +85,18 @@ def register_resampled(
     if cfg.coarse_points and cfg.coarse_points < source_points.shape[0]:
         score_src = src_aligned[: cfg.coarse_points]
         score_mask = source_mask[: cfg.coarse_points]
+    score_tgt, score_tmask = target_points, target_mask
+    if cfg.coarse_target_points and cfg.coarse_target_points < target_points.shape[0]:
+        # The target is FPS-resampled too, so its prefix is a uniform
+        # subsample; thinning it raises every rotation's mean-NN error
+        # near-uniformly, preserving the ranking the field exists for.
+        score_tgt = target_points[: cfg.coarse_target_points]
+        score_tmask = target_mask[: cfg.coarse_target_points]
     coarse = coarse_align(
         score_src,
         score_mask,
-        target_points,
-        target_mask,
+        score_tgt,
+        score_tmask,
         steps=cfg.rotation_steps,
         span=cfg.angle_span,
         radius=cfg.kernel_radius,
@@ -135,14 +142,23 @@ def register_resampled(
         sp_n = min(cfg.screen_points, p)
         screen_src = rotated[:, :sp_n]
         screen_mask = source_mask[:sp_n]
+        screen_tgt, screen_tmask = target_points, target_mask
+        st_normals = tgt_normals
+        if cfg.screen_target_points and cfg.screen_target_points < target_points.shape[0]:
+            # Ranking-only solve: a target FPS-prefix halves every screening
+            # correspondence matmul (same argument as coarse_target_points).
+            screen_tgt = target_points[: cfg.screen_target_points]
+            screen_tmask = target_mask[: cfg.screen_target_points]
+            if tgt_normals is not None:
+                st_normals = tgt_normals[: cfg.screen_target_points]
         screen_params = params._replace(
             max_iterations=jnp.asarray(cfg.screen_iterations, jnp.int32)
         )
         screen_icp = partial(icp, precision=cfg.screen_precision,
-                             variant=cfg.icp_variant, target_normals=tgt_normals,
+                             variant=cfg.icp_variant, target_normals=st_normals,
                              nn_backend=nn_backend)
         res1 = jax.vmap(screen_icp, in_axes=(0, None, None, None, None))(
-            screen_src, screen_mask, target_points, target_mask, screen_params
+            screen_src, screen_mask, screen_tgt, screen_tmask, screen_params
         )
         fit1 = jnp.where(coarse.candidate_mask, res1.fitness, _BIG)
         # Candidate 0 (the best grid angle) must survive screening: the

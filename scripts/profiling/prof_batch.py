@@ -1,7 +1,10 @@
 """Stage-level TPU profile of the CURRENT bench config (scratch, not shipped)."""
+import sys
 import time
 from functools import partial
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
 import jax
