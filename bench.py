@@ -91,12 +91,14 @@ def main() -> int:
     log(f"device: {dev.platform} {dev.device_kind}")
 
     # Tuned knobs, validated RMSE-identical per pair on the 10 registration
-    # + 13 registration_scale golden pairs (BASELINE.md): 8 multi-start
-    # candidates (reference keeps all ~30 local minima; top-8 by field error
-    # always contains the winner), rotation field scored on the 512-point
-    # FPS prefix, 2 full-resolution refinements after screening.
-    cfg = KSSICPConfig(max_candidates=8, coarse_points=512,
-                       refine_candidates=2)
+    # + 13 registration_scale golden pairs (BASELINE.md): 6 multi-start
+    # candidates (reference keeps all ~30 local minima; the top-6 by field
+    # error always contains the winner, and auto-escalation is the safety
+    # net beyond that), rotation field scored on 512-point FPS prefixes of
+    # BOTH clouds (ranking-only stage), 2 full-resolution refinements after
+    # screening. Measured ladder in BASELINE.md (round 2: 118 -> 164 pairs/s).
+    cfg = KSSICPConfig(max_candidates=6, coarse_points=512,
+                       coarse_target_points=512, refine_candidates=2)
     pairs = load_pairs()
     b = len(pairs)
     log(f"pairs: {b} -> {[p[0] for p in pairs]}")

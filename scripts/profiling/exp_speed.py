@@ -30,11 +30,12 @@ BASE = dict(max_candidates=8, coarse_points=512, refine_candidates=2)
 
 VARIANTS = {
     "base": {},
-    "ctp1024": dict(coarse_target_points=1024),
     "ctp512": dict(coarse_target_points=512),
-    "ctp1024+cp384": dict(coarse_target_points=1024, coarse_points=384),
-    "ctp1024+screen12": dict(coarse_target_points=1024, screen_iterations=12),
-    "ctp1024+cand6": dict(coarse_target_points=1024, max_candidates=6),
+    "ctp512+cand6": dict(coarse_target_points=512, max_candidates=6),
+    "ctp384": dict(coarse_target_points=384),
+    "ctp256": dict(coarse_target_points=256),
+    "ctp512+cand6+cp384": dict(coarse_target_points=512, max_candidates=6,
+                               coarse_points=384),
 }
 
 print("device:", jax.devices()[0].device_kind, flush=True)

@@ -23,7 +23,7 @@ from kss_icp_tpu.io.formats import load_points
 
 DATA_ROOT = Path("/root/reference/PS_AIS_Simplification/data")
 FULL_PAD = 8192
-cfg = KSSICPConfig(max_candidates=8, coarse_points=512, refine_candidates=2)
+cfg = KSSICPConfig(max_candidates=6, coarse_points=512, coarse_target_points=512, refine_candidates=2)
 
 print("device:", jax.devices()[0].device_kind, flush=True)
 
@@ -80,8 +80,9 @@ def pre_coarse(sp_, sm_, tp_, tm_):
     def one(spi, smi, tpi, tmi):
         sim0, _, _ = middle_align(spi, smi, tpi, tmi)
         sal = apply_similarity(sim0, spi)
+        ctp = cfg.coarse_target_points or tpi.shape[0]
         co = coarse_align(sal[: cfg.coarse_points], smi[: cfg.coarse_points],
-                          tpi, tmi, steps=cfg.rotation_steps,
+                          tpi[:ctp], tmi[:ctp], steps=cfg.rotation_steps,
                           span=cfg.angle_span, radius=cfg.kernel_radius,
                           max_candidates=cfg.max_candidates,
                           chunk=cfg.rotation_chunk, precision=cfg.coarse_precision,
