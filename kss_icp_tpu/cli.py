@@ -67,6 +67,23 @@ def _register(args) -> int:
         tgt = load_points(args.target)
     print(f"loaded source={src.shape[0]} target={tgt.shape[0]} points")
 
+    cap = getattr(args, "pre_downsample", 0)
+    if cap:
+        # Room/block large-scan protocol: octree voxel downsample to ~cap
+        # points before registration (Method_Octree.hpp:16-108).
+        from kss_icp_tpu.ops.simplify import octree_simplify
+
+        def shrink(pts):
+            if pts.shape[0] <= cap:
+                return pts
+            p_, keep = octree_simplify(
+                jnp.asarray(pts, jnp.float32), jnp.ones(pts.shape[0], bool), cap
+            )
+            return np.asarray(p_)[np.asarray(keep)]
+
+        src, tgt = shrink(src), shrink(tgt)
+        print(f"pre-downsampled to source={src.shape[0]} target={tgt.shape[0]}")
+
     profile_ctx = None
     if getattr(args, "profile", None):
         import jax
@@ -397,6 +414,10 @@ def main(argv=None) -> int:
     p.add_argument("target")
     p.add_argument("-o", "--output", default=None, help=".xyz output path")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--pre-downsample", type=int, default=0, metavar="N",
+                   help="octree-downsample inputs above N points first (the "
+                        "reference's Room/block large-scan protocol, "
+                        "Method_Octree.hpp:16 / start_Cuda.bat)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the registration")
     add_common(p)

@@ -82,6 +82,12 @@ class KSSICPConfig:
     screen_iterations: int = 20
     screen_points: int = 512
     refine_candidates: int = 4
+    # Two-tier refinement (0 = off): the vmapped refine while_loop costs
+    # lanes x slowest-lane iterations (measured max 49 vs median ~6). With
+    # N > 0, all refine lanes run a CAPPED N-iteration solve, the winner is
+    # selected, and only that single lane converges fully (warm-started) —
+    # the 49-iteration tail is paid by 1 lane instead of refine_candidates.
+    refine_tier_iterations: int = 0
     # Matmul precision of the screening ICP's correspondences (ranking only;
     # the screening fitness itself is computed at HIGHEST after the loop).
     screen_precision: str = "high"       # "default" | "high" | "highest"

@@ -168,6 +168,39 @@ def register_resampled(
         refine_icp = partial(icp, precision=cfg.icp_precision,
                              variant=cfg.icp_variant, target_normals=tgt_normals,
                              nn_backend=refine_nn_backend)
+        if cfg.refine_tier_iterations:
+            # Two-tier refine: capped full-res solve on every selected lane
+            # (ranking + gate probe), then full convergence on the single
+            # winning lane — the slowest-lane while_loop tail is paid once,
+            # not refine_candidates times.
+            cap = params._replace(
+                max_iterations=jnp.asarray(cfg.refine_tier_iterations, jnp.int32)
+            )
+            res_a = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
+                rotated[sel], source_mask, target_points, target_mask, cap,
+                res1.rotation[sel], res1.translation[sel],
+            )
+            fit_a = jnp.where(coarse.candidate_mask[sel], res_a.fitness, _BIG)
+            judge_a = fit_a[0]
+            local_a = jnp.where(judge_a <= cfg.multistart_fitness_gate,
+                                0, jnp.argmin(fit_a))
+            res = refine_icp(
+                rotated[sel][local_a], source_mask, target_points, target_mask,
+                params, res_a.rotation[local_a], res_a.translation[local_a],
+            )
+            choice = sel[local_a]
+            icp_sim = Similarity.from_rigid(res.rotation, res.translation)
+            cand_sim = Similarity.from_rigid(r_cand[choice], jnp.zeros((3,), dtype))
+            total = compose(icp_sim, compose(cand_sim, sim0))
+            return RegistrationResult(
+                transform=total,
+                fitness=res.fitness,
+                judge_fitness=judge_a,
+                used_multistart=judge_a > cfg.multistart_fitness_gate,
+                chosen_candidate=choice,
+                icp_iterations=res_a.iterations[local_a] + res.iterations,
+                coarse=coarse,
+            )
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
             rotated[sel], source_mask, target_points, target_mask, params,
             res1.rotation[sel], res1.translation[sel],

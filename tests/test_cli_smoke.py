@@ -66,3 +66,15 @@ def test_serve_jsonl_no_x64(cloud_file, tmp_path):
     assert ok["ok"] and ok["rmse"] < 1e-3  # identical clouds
     assert out.exists()
     assert lines[2]["ok"] is False  # bad request reported, server kept going
+
+
+def test_register_pre_downsample_no_x64(cloud_file, tmp_path):
+    # Room/block large-scan protocol: octree pre-downsample before
+    # registration (Method_Octree.hpp:16).
+    out = tmp_path / "pre.xyz"
+    r = _run(["register", str(cloud_file), str(cloud_file), "-o", str(out),
+              "--pre-downsample", "600", "--accurate", "2",
+              "--iterations", "20", "--max-candidates", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "pre-downsampled" in r.stdout
+    assert out.exists()
