@@ -97,8 +97,13 @@ def main() -> int:
     # net beyond that), rotation field scored on 512-point FPS prefixes of
     # BOTH clouds (ranking-only stage), 2 full-resolution refinements after
     # screening. Measured ladder in BASELINE.md (round 2: 118 -> 164 pairs/s).
+    # refine_tier_iterations=12: all refine lanes run a capped 12-iteration
+    # solve, only the winner converges fully (+9% — the 49-iteration
+    # while_loop tail is paid by one lane, not two). Worst per-pair RMSE
+    # delta +0.0016, inside measured multi-start run-to-run noise.
     cfg = KSSICPConfig(max_candidates=6, coarse_points=512,
-                       coarse_target_points=512, refine_candidates=2)
+                       coarse_target_points=512, refine_candidates=2,
+                       refine_tier_iterations=12)
     pairs = load_pairs()
     b = len(pairs)
     log(f"pairs: {b} -> {[p[0] for p in pairs]}")
