@@ -29,13 +29,13 @@ FULL_PAD = 8192
 BASE = dict(max_candidates=8, coarse_points=512, refine_candidates=2)
 
 VARIANTS = {
-    "base": dict(coarse_target_points=512, max_candidates=6),
-    "tier12+rc3": dict(coarse_target_points=512, max_candidates=6,
-                       refine_tier_iterations=12, refine_candidates=3),
-    "tier12+rc4": dict(coarse_target_points=512, max_candidates=6,
-                       refine_tier_iterations=12, refine_candidates=4),
-    "tier20+rc2": dict(coarse_target_points=512, max_candidates=6,
-                       refine_tier_iterations=20),
+    "base": dict(coarse_target_points=512, max_candidates=6,
+                 refine_tier_iterations=12),
+    "aivs": dict(coarse_target_points=512, max_candidates=6,
+                 refine_tier_iterations=12, resampler="aivs"),
+    "aivs_r32": dict(coarse_target_points=512, max_candidates=6,
+                     refine_tier_iterations=12, resampler="aivs",
+                     aivs_max_rounds=32, aivs_max_cuts=512),
 }
 
 print("device:", jax.devices()[0].device_kind, flush=True)
