@@ -33,11 +33,11 @@ def reference_pairs_per_sec() -> tuple[float, str]:
         try:
             v = json.loads(_ORACLE_JSON.read_text())["pairs_per_sec"]
             return float(v), "measured (CPU oracle, BASELINE_ORACLE.json)"
-        except (KeyError, ValueError):
+        except (KeyError, ValueError, TypeError):
             pass
     return 0.1, "estimate (no BASELINE_ORACLE.json)"
-DATA_ROOT = Path("/root/reference/PS_AIS_Simplification/data")
-SETS = [("registration", ""), ("registration_scale", "s/")]
+
+
 FULL_PAD = 8192
 REPEAT = 3
 
@@ -47,19 +47,9 @@ def log(*a):
 
 
 def load_pairs():
-    from kss_icp_tpu.io.formats import load_points
+    from kss_icp_tpu.stress import golden_corpus
 
-    pairs = []
-    for subdir, prefix in SETS:
-        d = DATA_ROOT / subdir
-        if not d.exists():
-            continue
-        names = sorted({p.stem for p in d.glob("*.gird")}
-                       & {p.stem for p in d.glob("*.wlop")})
-        for name in names:
-            pairs.append((prefix + name,
-                          load_points(d / f"{name}.gird"),
-                          load_points(d / f"{name}.wlop")))
+    pairs = golden_corpus()
     if not pairs:  # fallback: synthetic wavy-surface pairs
         rng = np.random.default_rng(0)
         for i in range(8):

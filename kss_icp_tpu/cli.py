@@ -34,11 +34,17 @@ def _apply_platform(args):
 def _cfg_from_args(args):
     from kss_icp_tpu.config import KSSICPConfig
 
-    return KSSICPConfig(
+    kw = dict(
         rotation_steps=args.accurate,
         max_icp_iterations=args.iterations,
         max_candidates=args.max_candidates,
     )
+    # --escalate/--no-escalate overrides cfg.auto_escalate everywhere a
+    # config is built (register_pair consumes it directly; register_many's
+    # `escalate=None` defers to it).
+    if getattr(args, "escalate", None) is not None:
+        kw["auto_escalate"] = args.escalate
+    return KSSICPConfig(**kw)
 
 
 def _logger_from_args(args):
@@ -401,6 +407,11 @@ def main(argv=None) -> int:
     def add_common(p):
         p.add_argument("--accurate", type=int, default=8,
                        help="rotation grid steps per axis (reference: 8)")
+        p.add_argument("--escalate", action=argparse.BooleanOptionalAction,
+                       default=None,
+                       help="re-solve high-fitness results on a finer 16^3 "
+                            "grid (default: on, via cfg.auto_escalate; "
+                            "--no-escalate disables)")
         p.add_argument("--iterations", type=int, default=1000,
                        help="max ICP iterations (reference: 1000)")
         p.add_argument("--max-candidates", type=int, default=32)
@@ -437,21 +448,12 @@ def main(argv=None) -> int:
                    help="skip models whose <name>Align.xyz already exists")
     p.add_argument("--batched", action="store_true",
                    help="register the whole list as one jitted program")
-    p.add_argument("--escalate", action=argparse.BooleanOptionalAction,
-                   default=None,
-                   help="with --batched: re-register high-fitness pairs on "
-                        "a finer (16^3) rotation grid (default: on, via "
-                        "cfg.auto_escalate; --no-escalate disables)")
     add_common(p)
     p.set_defaults(fn=_batch)
 
     p = sub.add_parser("serve", help="JSONL registration server on stdin/stdout")
     p.add_argument("--full-pad", type=int, default=8192,
                    help="static padded cloud size (fixed = one compile)")
-    p.add_argument("--escalate", action=argparse.BooleanOptionalAction,
-                   default=None,
-                   help="re-register high-fitness requests on a 16^3 grid "
-                        "(default: on, via cfg.auto_escalate)")
     add_common(p)
     p.set_defaults(fn=_serve)
 

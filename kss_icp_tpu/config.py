@@ -182,14 +182,19 @@ class KSSICPConfig:
 
     def escalation_config(self) -> "KSSICPConfig":
         """The finer-grid config used for the fitness-flagged second pass
-        (auto_escalate). Scoring runs on the full resampled cloud
-        (coarse_points=0) — the escalated field must be trustworthy."""
+        (auto_escalate). EVERY ranking-only shortcut is disabled — full
+        source and target clouds in the field, uncapped refinement — because
+        escalation exists precisely for the pairs where ranking fidelity
+        failed."""
         return dataclasses.replace(
             self,
             rotation_steps=self.escalate_rotation_steps,
             max_candidates=self.escalate_max_candidates,
             refine_candidates=max(self.refine_candidates, 4),
             coarse_points=0,
+            coarse_target_points=0,
+            screen_target_points=0,
+            refine_tier_iterations=0,
             auto_escalate=False,
         )
 

@@ -245,6 +245,21 @@ def _fps_backend(cfg: KSSICPConfig) -> str:
     return cfg.fps_backend
 
 
+def _resolve_aivs_boxes(cfg: KSSICPConfig, n_valid: int) -> KSSICPConfig:
+    """Pin the AIVS box ladder from the true valid point count (the
+    reference rule, ballRegionCompute.hpp:1194) — done on the host so the
+    static knob does not depend on an unrelated padding size."""
+    if cfg.resampler == "aivs" and cfg.aivs_boxes_per_axis == 0:
+        import dataclasses
+
+        from kss_icp_tpu.ops.spatial import estimate_box_scale
+
+        return dataclasses.replace(
+            cfg, aivs_boxes_per_axis=estimate_box_scale(n_valid)
+        )
+    return cfg
+
+
 @partial(jax.jit, static_argnames=("cfg", "pad"))
 def resample_batch(
     points: jnp.ndarray,      # (B, N, 3)
@@ -264,6 +279,10 @@ def resample_batch(
     if cfg.resampler == "aivs":
         # The reference's default sampler (Method_AIVS_SimPro.hpp), jittable
         # and packed in pick-round order (ops/aivs.aivs_resample_packed).
+        # boxes_per_axis must be static: host wrappers (register_pair /
+        # register_many) pre-resolve it from the true valid count via
+        # _resolve_aivs_boxes; inside jit the padded size is the only
+        # static proxy left.
         from kss_icp_tpu.ops.aivs import aivs_resample_packed
         from kss_icp_tpu.ops.spatial import estimate_box_scale
 
@@ -360,6 +379,7 @@ def register_pair(
     n_s = int(source.count)
     n_t = int(target.count)
     pnumber = cfg.resample_count(n_s, n_t)
+    cfg = _resolve_aivs_boxes(cfg, max(n_s, n_t))
 
     pn = jnp.asarray([pnumber])
     src_pts, src_mask = resample_batch(

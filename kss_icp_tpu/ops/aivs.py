@@ -286,17 +286,21 @@ def aivs_resample(
     n_valid = int(jnp.sum(mask))
     nb = boxes_per_axis or estimate_box_scale(n_valid)
 
+    grid = build_voxel_grid(points, mask, nb)
     rates = None
     if normals is not None:
-        grid = build_voxel_grid(points, mask, nb)
         cls = classify_curvature(normals, points, mask)
         rates = class_rate_per_box(cls, grid.box_id, mask, nb**3)
 
-    max_rounds = max(1, _next_pow2(math.ceil(num_samples / max(nb, 1))) * 4)
-    max_rounds = min(max_rounds, max(num_samples, 1))
+    # Host path: the exact max quota is known, so the lockstep loop depth
+    # guarantees every quota is met (exact-N contract) — a heuristic bound
+    # here undersamples skewed clouds whose densest box dominates.
+    quotas = box_quotas(grid.counts, num_samples, rates)
+    max_rounds = max(int(jnp.max(quotas)), 1)
+    slack = int(jnp.sum(quotas)) - min(num_samples, n_valid)
     sel, _ = aivs_select(
         points, mask, num_samples, nb,
-        max_rounds=max_rounds, max_cuts=_next_pow2(nb**3),
+        max_rounds=max_rounds, max_cuts=_next_pow2(max(slack, 1)),
         class_rates=rates,
     )
     return points * sel[:, None].astype(points.dtype), sel

@@ -389,7 +389,13 @@ class OracleInitRegistration:
 
     def _scan(self):
         """initRegistration_Rotation (:222-296): cumulative-axis triple loop
-        over [0, 6.3) in 6.3/step increments; record the full error field."""
+        over [0, 6.3) in 6.3/step increments; record the full error field.
+
+        NOTE the float-accumulation quirk reproduced below: at step=8 the
+        loop visits NINE angles per axis (8 increments of 0.7875 accumulate
+        to 6.2999... < 6.3), so the reference grid is really 9^3 = 729
+        rotations with the 9th angle ~= 0.017 rad, a near-duplicate of 0.
+        The production TPU grid uses exactly `rotation_steps` angles."""
         self._tree = cKDTree(self.point_target)
         inc = 6.3 / self.step
         angles = []

@@ -126,6 +126,11 @@ def register_many(
         [cfg.resample_count(int(a[1].sum()), int(b[1].sum()))
          for a, b in zip(src, tgt)]
     )
+    from kss_icp_tpu.models.kss_icp import _resolve_aivs_boxes
+
+    cfg = _resolve_aivs_boxes(
+        cfg, max(int(x[1].sum()) for x in src + tgt)
+    )
 
     (sp, sm), (tp, tm) = resample_pairs(s_pts, s_msk, t_pts, t_msk, pnum, cfg)
     res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)

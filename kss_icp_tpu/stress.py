@@ -39,6 +39,29 @@ def rot_xyz(ax: float, ay: float, az: float) -> np.ndarray:
 
 
 REMESH = Path("/root/reference/PS_AIS_Simplification/Remesh/Advancing")
+GOLDEN_ROOT = Path("/root/reference/PS_AIS_Simplification/data")
+GOLDEN_SETS = [("registration", ""), ("registration_scale", "s/")]
+
+
+def golden_corpus(root: Path = GOLDEN_ROOT):
+    """The 23 bundled golden pairs: [(name, source(.gird), target(.wlop))].
+    Single source of truth for bench.py and scripts/measure_baseline.py —
+    the measured-baseline denominator must cover exactly the benchmark
+    corpus."""
+    from kss_icp_tpu.io.formats import load_points
+
+    pairs = []
+    for subdir, prefix in GOLDEN_SETS:
+        d = root / subdir
+        if not d.exists():
+            continue
+        names = sorted({p.stem for p in d.glob("*.gird")}
+                       & {p.stem for p in d.glob("*.wlop")})
+        for name in names:
+            pairs.append((prefix + name,
+                          np.asarray(load_points(d / f"{name}.gird")),
+                          np.asarray(load_points(d / f"{name}.wlop"))))
+    return pairs
 
 # Deterministic per-model perturbation cycles (transferPC.hpp:66-130
 # semantics: axis rotation, centroid-anchored scale, uniform translation).

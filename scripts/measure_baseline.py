@@ -23,24 +23,13 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-DATA_ROOT = Path("/root/reference/PS_AIS_Simplification/data")
-SETS = [("registration", ""), ("registration_scale", "s/")]
-
-
 def load_pairs(limit=None):
-    from kss_icp_tpu.io.formats import load_points
+    # Single source of truth with bench.py: the measured baseline must
+    # cover exactly the benchmark corpus.
+    from kss_icp_tpu.stress import golden_corpus
 
-    pairs = []
-    for subdir, prefix in SETS:
-        d = DATA_ROOT / subdir
-        if not d.exists():
-            continue
-        names = sorted({p.stem for p in d.glob("*.gird")}
-                       & {p.stem for p in d.glob("*.wlop")})
-        for name in names:
-            pairs.append((prefix + name,
-                          np.asarray(load_points(d / f"{name}.gird"), np.float64),
-                          np.asarray(load_points(d / f"{name}.wlop"), np.float64)))
+    pairs = [(n, np.asarray(s, np.float64), np.asarray(t, np.float64))
+             for n, s, t in golden_corpus()]
     return pairs[:limit] if limit else pairs
 
 
@@ -80,8 +69,10 @@ def main() -> int:
     per_pair = [r["seconds"] for r in results.values()]
     summary = {
         "protocol": ("faithful numpy/scipy replica of the reference pipeline "
-                     "(kss_icp_tpu/oracle.py): AIVS resample -> 512-rotation "
-                     "coarse grid -> multi-start PCL-semantics ICP -> PCR_QM"),
+                     "(kss_icp_tpu/oracle.py): AIVS resample -> 9^3=729-"
+                     "rotation coarse grid (the reference's float-accumulated"
+                     " [0,6.3) loop yields 9 angles/axis, the 9th aliasing "
+                     "~0.017 rad) -> multi-start PCL-semantics ICP -> PCR_QM"),
         "host": platform.processor() or platform.machine(),
         "python": platform.python_version(),
         "pairs": results,
