@@ -1,0 +1,104 @@
+"""Fitness-gated escalation: flag -> re-solve on the finer grid -> keep-better.
+
+The single host-side implementation of the robustness pass shared by
+`register_pair` (models/kss_icp.py), `register_many` (parallel/batch.py)
+and bench.py. Reference intent: KSS_ICP.hpp:99-121 — when the fitness gate
+fails, spend more work (there: ICP from EVERY local minimum; here: a finer
+16^3 rotation grid with a wider candidate budget) and keep the better
+answer per pair.
+
+The pass is pure host logic around jitted solves: find flagged rows, pad
+the selection by repetition to a fixed shape ladder (bounding the set of
+shape-specialized XLA programs the second pass can compile — compiles
+through the TPU tunnel cost minutes), re-solve, and keep the
+better-fitness row. Padding repeats flagged[0], so duplicate rows are
+benign: keep-better is evaluated per row against the current best.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+def padded_selection(
+    flagged: np.ndarray, pad_multiple: int, cap: Optional[int] = None
+) -> np.ndarray:
+    """Pad an index list by repeating its first entry up to a multiple of
+    `pad_multiple` (optionally capped at `cap` rows)."""
+    m = max(int(pad_multiple), 1)
+    n = ((flagged.size + m - 1) // m) * m
+    if cap is not None:
+        n = max(min(n, cap), flagged.size)
+    extra = max(n - flagged.size, 0)
+    if extra == 0:
+        return flagged
+    return np.concatenate([flagged, np.repeat(flagged[:1], extra)])
+
+
+def escalate_rerun(
+    resolve: Callable[[np.ndarray], Tuple[object, np.ndarray]],
+    fitness: np.ndarray,
+    threshold: float,
+    pad_multiple: int,
+    result=None,
+    cap: Optional[int] = None,
+    chunk: Optional[int] = None,
+):
+    """Run the flag -> padded re-solve -> keep-better pass.
+
+    Args:
+      resolve: `resolve(sel) -> (result_tree, fitness2)` re-solves the rows
+        indexed by `sel` at escalation settings; `fitness2` is `(len(sel),)`.
+      fitness: `(B,)` current per-row fitness (lower is better).
+      threshold: rows with fitness > threshold are flagged
+        (KSSICPConfig.escalate_threshold).
+      pad_multiple: flagged selection is padded by repetition to a multiple
+        of this (KSSICPConfig.escalate_pad).
+      result: optional pytree with leading axis B. Winning rows are merged
+        from resolve's result tree (leaves must be shape-compatible rowwise;
+        pass only the subtree whose shapes are config-independent, e.g.
+        transform + fitness — NOT the coarse field, whose shape depends on
+        the rotation grid).
+      cap: maximum padded-selection size (defaults to B).
+      chunk: if given, the padded selection is re-solved in chunks of this
+        many rows (each chunk is one `resolve` call — bench.py reuses its
+        fixed batch-B program this way).
+
+    Returns `(result, fitness, wins, n_flagged)` where `wins` is a list of
+    `(global_index, chunk_result_tree, row_in_chunk)` for every row the
+    re-solve improved (useful when `result` is None and the caller merges
+    richer state itself).
+    """
+    import jax
+
+    fitness = np.asarray(fitness).copy()
+    b = fitness.shape[0]
+    flagged = np.nonzero(fitness > threshold)[0]
+    if flagged.size == 0:
+        return result, fitness, [], 0
+    sel = padded_selection(flagged, pad_multiple, cap if cap is not None else b)
+    if result is not None:
+        result = jax.tree.map(lambda x: np.asarray(x).copy(), result)
+    step = chunk if chunk else sel.size
+    wins = []
+    for c0 in range(0, sel.size, step):
+        csel = sel[c0 : c0 + step]
+        res2, fit2 = resolve(csel)
+        fit2 = np.asarray(fit2)
+        res2_np = None
+        for j, gi in enumerate(csel):
+            if fit2[j] < fitness[gi]:
+                fitness[gi] = fit2[j]
+                wins.append((int(gi), res2, j))
+                if result is not None:
+                    if res2_np is None:
+                        res2_np = jax.tree.map(np.asarray, res2)
+
+                    def _set(full, new, _gi=gi, _j=j):
+                        full[_gi] = new[_j]
+                        return full
+
+                    jax.tree.map(_set, result, res2_np)
+    return result, fitness, wins, int(flagged.size)

@@ -168,16 +168,38 @@ def register_resampled(
         refine_icp = partial(icp, precision=cfg.icp_precision,
                              variant=cfg.icp_variant, target_normals=tgt_normals,
                              nn_backend=refine_nn_backend)
+        # Final-converge iteration cap (cfg.refine_max_iterations): bounds
+        # the slowest-lane while_loop tail of the batched solve; escalation
+        # lifts it for flagged pairs.
+        refine_params = params
+        if cfg.refine_max_iterations:
+            refine_params = params._replace(
+                max_iterations=jnp.asarray(
+                    min(cfg.refine_max_iterations, cfg.max_icp_iterations),
+                    jnp.int32))
         if cfg.refine_tier_iterations:
             # Two-tier refine: capped full-res solve on every selected lane
             # (ranking + gate probe), then full convergence on the single
             # winning lane — the slowest-lane while_loop tail is paid once,
-            # not refine_candidates times.
+            # not refine_candidates times. The capped lanes may match a
+            # target FPS-prefix (refine_tier_target_points): they only rank
+            # + warm-start, and the winner re-converges on the full target.
             cap = params._replace(
                 max_iterations=jnp.asarray(cfg.refine_tier_iterations, jnp.int32)
             )
-            res_a = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
-                rotated[sel], source_mask, target_points, target_mask, cap,
+            cap_tgt, cap_tmask = target_points, target_mask
+            cap_normals = tgt_normals
+            rtp = cfg.refine_tier_target_points
+            if rtp and rtp < target_points.shape[0]:
+                cap_tgt = target_points[:rtp]
+                cap_tmask = target_mask[:rtp]
+                if tgt_normals is not None:
+                    cap_normals = tgt_normals[:rtp]
+            cap_icp = partial(icp, precision=cfg.icp_precision,
+                              variant=cfg.icp_variant, target_normals=cap_normals,
+                              nn_backend=refine_nn_backend)
+            res_a = jax.vmap(cap_icp, in_axes=(0, None, None, None, None, 0, 0))(
+                rotated[sel], source_mask, cap_tgt, cap_tmask, cap,
                 res1.rotation[sel], res1.translation[sel],
             )
             fit_a = jnp.where(coarse.candidate_mask[sel], res_a.fitness, _BIG)
@@ -186,7 +208,7 @@ def register_resampled(
                                 0, jnp.argmin(fit_a))
             res = refine_icp(
                 rotated[sel][local_a], source_mask, target_points, target_mask,
-                params, res_a.rotation[local_a], res_a.translation[local_a],
+                refine_params, res_a.rotation[local_a], res_a.translation[local_a],
             )
             choice = sel[local_a]
             icp_sim = Similarity.from_rigid(res.rotation, res.translation)
@@ -202,7 +224,7 @@ def register_resampled(
                 coarse=coarse,
             )
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
-            rotated[sel], source_mask, target_points, target_mask, params,
+            rotated[sel], source_mask, target_points, target_mask, refine_params,
             res1.rotation[sel], res1.translation[sel],
         )
         fit = jnp.where(coarse.candidate_mask[sel], res.fitness, _BIG)
@@ -389,11 +411,20 @@ def register_pair(
         target.points[None], target.mask[None], pn, cfg
     )
     res = register_resampled(src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0], cfg)
-    if cfg.auto_escalate and float(res.fitness) > cfg.escalate_threshold:
-        res2 = register_resampled(
-            src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0],
-            cfg.escalation_config(),
+    if cfg.auto_escalate:
+        from kss_icp_tpu.escalate import escalate_rerun
+
+        def resolve(_sel):
+            r2 = register_resampled(
+                src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0],
+                cfg.escalation_config(),
+            )
+            return r2, np.asarray(r2.fitness)[None]
+
+        _, _, wins, _ = escalate_rerun(
+            resolve, np.asarray(res.fitness)[None],
+            cfg.escalate_threshold, pad_multiple=1,
         )
-        if float(res2.fitness) < float(res.fitness):
-            return res2
+        if wins:
+            return wins[-1][1]
     return res

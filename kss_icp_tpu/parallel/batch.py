@@ -136,33 +136,25 @@ def register_many(
     res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)
 
     if escalate:
-        fit = np.asarray(res.fitness)
-        bad = np.nonzero(fit > escalate_threshold)[0]
-        if bad.size:
-            ecfg = escalate_cfg or cfg.escalation_config()
-            # Re-register only the flagged pairs, padded by repetition to a
-            # multiple of escalate_pad: a fixed shape ladder instead of one
-            # shape-specialized compile per flagged-count (no mesh: the
-            # subset is small and ragged relative to the device count).
-            m = max(ecfg.escalate_pad, 1)
-            n_pad = min(((bad.size + m - 1) // m) * m, fit.shape[0])
-            sel = np.concatenate(
-                [bad, np.repeat(bad[:1], max(n_pad - bad.size, 0))]
-            )
-            res2 = register_batch(sp[sel], sm[sel], tp[sel], tm[sel], ecfg)
-            fit2 = np.asarray(res2.fitness)[: bad.size]
-            better = np.nonzero(fit2 < fit[bad])[0]
-            if better.size:
-                win = jnp.asarray(bad[better])
-                sub = jnp.asarray(better)
-                new_tr = jax.tree_util.tree_map(
-                    lambda full, s: full.at[win].set(s[sub]),
-                    res.transform, res2.transform,
-                )
-                res = res._replace(
-                    transform=new_tr,
-                    fitness=res.fitness.at[win].set(res2.fitness[sub]),
-                )
+        from kss_icp_tpu.escalate import escalate_rerun
+
+        ecfg = escalate_cfg or cfg.escalation_config()
+
+        # Re-register only the flagged pairs (no mesh: the subset is small
+        # and ragged relative to the device count).
+        def resolve(sel):
+            sel_j = jnp.asarray(sel)
+            r2 = register_batch(sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j], ecfg)
+            return r2.transform, np.asarray(r2.fitness)
+
+        tr_np, fit, _, _ = escalate_rerun(
+            resolve, res.fitness, escalate_threshold, ecfg.escalate_pad,
+            result=res.transform,
+        )
+        res = res._replace(
+            transform=jax.tree.map(jnp.asarray, tr_np),
+            fitness=jnp.asarray(fit),
+        )
 
     aligned = jax.jit(jax.vmap(apply_similarity))(res.transform, s_pts)
     metrics = jax.jit(jax.vmap(partial(registration_measure_padded, chunk=None)))(
