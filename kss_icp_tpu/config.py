@@ -88,6 +88,20 @@ class KSSICPConfig:
     # selected, and only that single lane converges fully (warm-started) —
     # the 49-iteration tail is paid by 1 lane instead of refine_candidates.
     refine_tier_iterations: int = 0
+    # TARGET points the CAPPED refine tier matches against (0 = all). The
+    # capped lanes only rank candidates and warm-start the winner — which
+    # always re-converges against the FULL target — so their correspondence
+    # matmuls may use a target FPS-prefix like the screen stage
+    # (resolution-tiered refinement; no reference analogue).
+    refine_tier_target_points: int = 0
+    # Iteration cap for the final refine convergence (0 = max_icp_iterations,
+    # the reference's 1000). A batched while_loop runs to the SLOWEST lane:
+    # one non-converging adversarial pair drags the whole batch to 1000
+    # full-resolution iterations (measured: 78-pair saturated batch 3.87 s
+    # vs 0.40 s with well-behaved lanes). Golden pairs converge in <= 49
+    # iterations; pairs that would need more end with poor fitness and are
+    # re-solved by auto-escalation (whose config lifts this cap).
+    refine_max_iterations: int = 0
     # Matmul precision of the screening ICP's correspondences (ranking only;
     # the screening fitness itself is computed at HIGHEST after the loop).
     screen_precision: str = "high"       # "default" | "high" | "highest"
@@ -195,6 +209,8 @@ class KSSICPConfig:
             coarse_target_points=0,
             screen_target_points=0,
             refine_tier_iterations=0,
+            refine_tier_target_points=0,
+            refine_max_iterations=0,
             auto_escalate=False,
         )
 

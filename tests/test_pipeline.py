@@ -102,6 +102,26 @@ def test_two_phase_matches_full_multistart(rng):
     assert abs(m2["rmse"] - mf["rmse"]) < 0.01, (m2, mf)
 
 
+def test_tiered_refine_matches_untied(rng):
+    """Resolution-tiered two-tier refine (capped lanes rank on a target
+    FPS-prefix, winner converges on the full target) must land on the same
+    alignment quality as the untiered refine."""
+    import dataclasses
+
+    tgt = random_cloud(rng, 900)
+    r = np.asarray(euler_xyz_matrix(jnp.array([0.9, 2.1, 0.4])))
+    src = (tgt @ r) * 1.4 - 0.5
+    base = dataclasses.replace(FAST, multistart_mode="two_phase",
+                               screen_points=128, screen_iterations=15,
+                               refine_candidates=3)
+    tiered = dataclasses.replace(base, refine_tier_iterations=10,
+                                 refine_tier_target_points=128)
+    _, m0 = _register_and_measure(src, tgt, base)
+    _, mt = _register_and_measure(src, tgt, tiered)
+    assert mt["rmse"] < 0.02, mt
+    assert abs(mt["rmse"] - m0["rmse"]) < 0.01, (mt, m0)
+
+
 @pytest.mark.parametrize("model", ["ant", "Cat"])
 def test_bundled_pair_recovers_recorded_rotation(reference_data_dir, model):
     """The full known-transform protocol on the bundled data: the .gird cloud
