@@ -1,11 +1,13 @@
 """Accuracy parity vs the measured reference baseline (BASELINE_ORACLE.json).
 
 The oracle numbers are recorded by scripts/measure_baseline.py (faithful
-numpy/scipy replica of the reference pipeline). This test re-registers a
-golden pair with the production pipeline at the bench config and asserts
-its RMSE does not drift above the oracle's for that pair beyond the
-measured multi-start noise band — the per-pair parity contract VERDICT
-round 1 asked for, enforced in CI.
+numpy/scipy replica of the reference pipeline — protocol
+registrationMeasure.hpp:47-98). This test batch-registers ALL 23 golden
+pairs with the production pipeline at the bench config in one jitted call
+and asserts, per pair, that RMSE does not drift above the oracle's beyond
+the measured multi-start noise band, plus the corpus-median bound — the
+full parity table from BASELINE.md enforced in CI (VERDICT round-2 item #3:
+drift on ANY pair fails pytest, not just Cat/woodMan).
 """
 
 import json
@@ -23,28 +25,32 @@ pytestmark = pytest.mark.skipif(
     reason="oracle baseline or reference data not present",
 )
 
+# Multi-start basin noise measured at ±0.005 across runs (BASELINE.md);
+# anything beyond oracle + NOISE_BAND is a real accuracy regression.
+NOISE_BAND = 0.006
+MEDIAN_BOUND = 0.0140
+
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["Cat", "woodMan"])
-def test_pipeline_rmse_within_oracle_band(name):
-    import jax.numpy as jnp
-
+def test_all_golden_pairs_within_oracle_band():
     from kss_icp_tpu.config import KSSICPConfig
-    from kss_icp_tpu.core.transforms import apply_similarity
-    from kss_icp_tpu.io.formats import load_points
-    from kss_icp_tpu.metrics import registration_measure
-    from kss_icp_tpu.models.kss_icp import register_pair
+    from kss_icp_tpu.parallel.batch import register_many
+    from kss_icp_tpu.stress import golden_corpus
 
-    oracle = json.loads(ORACLE.read_text())["pairs"][name]
-    src = load_points(DATA / f"{name}.gird").astype(np.float32)
-    tgt = load_points(DATA / f"{name}.wlop").astype(np.float32)
+    oracle = json.loads(ORACLE.read_text())["pairs"]
+    corpus = golden_corpus()
+    assert len(corpus) == 23 and set(n for n, _, _ in corpus) == set(oracle)
 
     cfg = KSSICPConfig(max_candidates=6, coarse_points=512,
                        coarse_target_points=512, refine_candidates=2,
                        refine_tier_iterations=12)
-    res = register_pair(src, tgt, cfg)
-    aligned = np.asarray(apply_similarity(res.transform, jnp.asarray(src)))
-    m = registration_measure(aligned, tgt)
-    # Multi-start basin noise measured at ±0.005 across runs (BASELINE.md);
-    # anything beyond oracle + 0.006 is a real accuracy regression.
-    assert m["rmse"] <= oracle["rmse"] + 0.006, (m["rmse"], oracle["rmse"])
+    _, metrics = register_many([(s, t) for _, s, t in corpus], cfg)
+
+    failures = []
+    for i, (name, _, _) in enumerate(corpus):
+        ours, ref = float(metrics["rmse"][i]), oracle[name]["rmse"]
+        if ours > ref + NOISE_BAND:
+            failures.append(f"{name}: ours {ours:.5f} > oracle {ref:.5f} + {NOISE_BAND}")
+    assert not failures, failures
+    median = float(np.median(metrics["rmse"]))
+    assert median <= MEDIAN_BOUND, median
