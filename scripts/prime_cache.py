@@ -1,0 +1,101 @@
+"""AOT-prime the persistent XLA compilation cache for bench.py.
+
+The fused full-pipeline program costs minutes to compile through the TPU
+tunnel (BASELINE.md "Cold-compile cost"); this script compiles every
+program bench.py will run — the batch-B golden pipeline, the saturated
+batch, the escalation re-solve and the measure program — via
+``jit(...).lower(shapes).compile()`` (no input data, no execution) into the
+persistent cache at /tmp/ksstpu_jax_cache, so a fresh machine reaches
+bench steady state in ONE priming run and the bench's own first run loads
+from cache in seconds.
+
+The programs are built by bench.make_programs()/bench.bench_config() —
+the exact objects bench.py jits — so the cache keys match by construction.
+
+Usage: python scripts/prime_cache.py            # prime bench programs
+       python scripts/prime_cache.py --entry    # also prime __graft_entry__
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ksstpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import bench
+    from kss_icp_tpu.stress import golden_corpus, remesh_corpus, stress_corpus
+
+    b = len(golden_corpus()) or 23
+    try:
+        nsat = b + len(stress_corpus()) + len(remesh_corpus())
+    except Exception:
+        nsat = None
+    cfg = bench.bench_config()
+    ecfg = cfg.escalation_config()
+    pipeline, measure_all = bench.make_programs()
+
+    f32 = jax.ShapeDtypeStruct
+    P = bench.FULL_PAD
+
+    def shapes(n):
+        return (f32((n, P, 3), np.float32), f32((n, P), bool),
+                f32((n, P, 3), np.float32), f32((n, P), bool),
+                f32((n,), np.int32))
+
+    total0 = time.perf_counter()
+    done = []
+    # Pipeline programs: golden batch (cfg + escalation) and saturated batch.
+    for n in [b] + ([nsat] if nsat and nsat != b else []):
+        for label, c in [("", cfg)] + ([("escalation ", ecfg)] if n == b else []):
+            t0 = time.perf_counter()
+            pipeline.lower(*shapes(n), c).compile()
+            dt = time.perf_counter() - t0
+            done.append((f"{label}pipeline batch-{n}", dt))
+            log(f"primed {label}pipeline batch-{n}: {dt:.1f}s")
+
+    # Measure program (transform is a Similarity pytree).
+    from kss_icp_tpu.core.transforms import Similarity
+
+    tr = Similarity(
+        scale=f32((b,), np.float32),
+        rotation=f32((b, 3, 3), np.float32),
+        translation=f32((b, 3), np.float32),
+    )
+    t0 = time.perf_counter()
+    measure_all.lower(tr, *shapes(b)[:4]).compile()
+    dt = time.perf_counter() - t0
+    done.append((f"measure batch-{b}", dt))
+    log(f"primed measure batch-{b}: {dt:.1f}s")
+
+    if "--entry" in sys.argv:
+        import __graft_entry__ as g
+
+        fn, ex = g.entry()
+        t0 = time.perf_counter()
+        jax.jit(fn).lower(*ex).compile()
+        done.append(("graft entry", time.perf_counter() - t0))
+        log(f"primed graft entry: {done[-1][1]:.1f}s")
+
+    log(f"total priming time: {time.perf_counter() - total0:.1f}s "
+        f"({len(done)} programs)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
