@@ -163,7 +163,8 @@ def _batch(args) -> int:
                 ))
                 save_xyz(out / f"{name}Align.xyz", aligned)
         print(f"{'TOTAL':12s} time={dt:7.3f}s (incl. compile) "
-              f"pairs/sec={len(names)/dt:.3f}")
+              f"pairs/sec={len(names)/dt:.3f} "
+              f"amortized={dt/len(names):.4f}s/pair")
         return 0
 
     rows = []

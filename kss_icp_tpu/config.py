@@ -102,6 +102,19 @@ class KSSICPConfig:
     # iterations; pairs that would need more end with poor fitness and are
     # re-solved by auto-escalation (whose config lifts this cap).
     refine_max_iterations: int = 0
+    # Two-stage final converge (0 = off). A vmapped while_loop runs every
+    # lane in lockstep to the SLOWEST lane, so with a batch of B pairs the
+    # whole batch pays worst-lane iterations at full resolution (median
+    # lane: ~6; worst: 48+). With N > 0, the host wrappers (register_pair /
+    # register_many / bench.py) re-launch ONLY the lanes whose final
+    # converge hit refine_max_iterations (RegistrationResult.refine_hit_cap)
+    # in a small warm-started polish program capped at N iterations —
+    # restarting ICP from the composed transform reproduces the same
+    # iteration sequence (correspondences depend only on current
+    # positions), so accuracy is preserved while the big batch's cap can
+    # drop to ~8. No reference analogue (the reference solves serially,
+    # Main_KSS_List.cpp:151-179, so it never pays a lockstep tail).
+    refine_polish_iterations: int = 0
     # Matmul precision of the screening ICP's correspondences (ranking only;
     # the screening fitness itself is computed at HIGHEST after the loop).
     screen_precision: str = "high"       # "default" | "high" | "highest"
@@ -211,6 +224,7 @@ class KSSICPConfig:
             refine_tier_iterations=0,
             refine_tier_target_points=0,
             refine_max_iterations=0,
+            refine_polish_iterations=0,
             auto_escalate=False,
         )
 

@@ -40,11 +40,12 @@ def padded_selection(
 def escalate_rerun(
     resolve: Callable[[np.ndarray], Tuple[object, np.ndarray]],
     fitness: np.ndarray,
-    threshold: float,
+    threshold: Optional[float],
     pad_multiple: int,
     result=None,
     cap: Optional[int] = None,
     chunk: Optional[int] = None,
+    flags: Optional[np.ndarray] = None,
 ):
     """Run the flag -> padded re-solve -> keep-better pass.
 
@@ -65,6 +66,8 @@ def escalate_rerun(
       chunk: if given, the padded selection is re-solved in chunks of this
         many rows (each chunk is one `resolve` call — bench.py reuses its
         fixed batch-B program this way).
+      flags: optional (B,) boolean row selection overriding the fitness
+        threshold (polish_rerun selects by RegistrationResult.refine_hit_cap).
 
     Returns `(result, fitness, wins, n_flagged)` where `wins` is a list of
     `(global_index, chunk_result_tree, row_in_chunk)` for every row the
@@ -75,7 +78,10 @@ def escalate_rerun(
 
     fitness = np.asarray(fitness).copy()
     b = fitness.shape[0]
-    flagged = np.nonzero(fitness > threshold)[0]
+    if flags is not None:
+        flagged = np.nonzero(np.asarray(flags))[0]
+    else:
+        flagged = np.nonzero(fitness > threshold)[0]
     if flagged.size == 0:
         return result, fitness, [], 0
     sel = padded_selection(flagged, pad_multiple, cap if cap is not None else b)
@@ -102,3 +108,23 @@ def escalate_rerun(
 
                     jax.tree.map(_set, result, res2_np)
     return result, fitness, wins, int(flagged.size)
+
+
+def polish_rerun(
+    resolve: Callable[[np.ndarray], Tuple[object, np.ndarray]],
+    hit_cap: np.ndarray,
+    fitness: np.ndarray,
+    pad_multiple: int,
+    result=None,
+    cap: Optional[int] = None,
+    chunk: Optional[int] = None,
+):
+    """Two-stage-converge continuation (KSSICPConfig.refine_polish_iterations):
+    rows whose batched final converge ran out of its iteration cap
+    (RegistrationResult.refine_hit_cap) are re-launched through `resolve` —
+    the small warm-started polish program (models/kss_icp.polish_resampled)
+    — and merged keep-better by fitness. Same mechanics as escalation, but
+    selection is by the hit-cap flag, not the fitness threshold."""
+    return escalate_rerun(resolve, fitness, None, pad_multiple,
+                          result=result, cap=cap, chunk=chunk,
+                          flags=np.asarray(hit_cap))

@@ -243,7 +243,15 @@ def icp(
         new_t = dr @ st.translation + dt
 
         wsum = jnp.maximum(allsum(jnp.sum(w)), 1.0)
-        corr_mse = allsum(jnp.sum(d2 * w)) / wsum
+        # Convergence MSE from the MATCHED pairs, recomputed elementwise in
+        # exact f32 (O(P*3), no matmul). The NN backend's d2 may carry
+        # bf16-pass noise (~1e-5) at precision="high"; the relative-MSE
+        # convergence gate compares deltas of ~1e-6, so testing on noisy d2
+        # keeps lanes "unconverged" for tens of extra full-resolution
+        # iterations on TPU (measured: the refine while_loop tail).
+        diff = cur - corr
+        d2_exact = jnp.sum(diff * diff, axis=-1)
+        corr_mse = allsum(jnp.sum(d2_exact * w)) / wsum
 
         # PCL DefaultConvergenceCriteria analogue: small incremental motion
         # (translation^2 AND rotation) or small absolute MSE change.

@@ -55,6 +55,9 @@ class RegistrationResult(NamedTuple):
     used_multistart: jnp.ndarray  # bool: gate failed, argmin-fitness candidate used
     chosen_candidate: jnp.ndarray  # int index into coarse.candidate_angles
     icp_iterations: jnp.ndarray  # iterations of the chosen candidate's ICP
+    refine_hit_cap: jnp.ndarray  # bool: the final converge ran out of its
+    # iteration budget (cfg.refine_max_iterations / max_icp_iterations) —
+    # the lane a host-side polish pass (polish_resampled) should continue
     coarse: CoarseResult
 
 
@@ -221,6 +224,7 @@ def register_resampled(
                 used_multistart=judge_a > cfg.multistart_fitness_gate,
                 chosen_candidate=choice,
                 icp_iterations=res_a.iterations[local_a] + res.iterations,
+                refine_hit_cap=res.iterations >= refine_params.max_iterations,
                 coarse=coarse,
             )
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
@@ -228,6 +232,7 @@ def register_resampled(
             res1.rotation[sel], res1.translation[sel],
         )
         fit = jnp.where(coarse.candidate_mask[sel], res.fitness, _BIG)
+        final_cap = refine_params.max_iterations
     else:
         sel = jnp.arange(coarse.candidate_angles.shape[0])
         full_icp = partial(icp, precision=cfg.icp_precision,
@@ -237,6 +242,7 @@ def register_resampled(
             rotated, source_mask, target_points, target_mask, params
         )
         fit = jnp.where(coarse.candidate_mask, res.fitness, _BIG)
+        final_cap = params.max_iterations
 
     judge_fitness = fit[0]  # slot 0 == best grid angle in both modes
     use_best = judge_fitness <= cfg.multistart_fitness_gate
@@ -257,8 +263,50 @@ def register_resampled(
         used_multistart=jnp.logical_not(use_best),
         chosen_candidate=choice,
         icp_iterations=res.iterations[local],
+        refine_hit_cap=res.iterations[local] >= final_cap,
         coarse=coarse,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def polish_resampled(
+    source_points: jnp.ndarray,   # (P, 3) resampled source (pipeline frame)
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    transform: Similarity,        # the capped solve's composed transform
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+) -> tuple[Similarity, jnp.ndarray, jnp.ndarray]:
+    """Continue a capped final converge (two-stage converge, see
+    KSSICPConfig.refine_polish_iterations): warm-start full-resolution ICP
+    from the already-composed transform and run up to
+    refine_polish_iterations more steps. ICP correspondences depend only on
+    current point positions, so restarting from the composed transform
+    continues the exact iteration sequence the cap cut short.
+
+    Returns (updated transform, fitness, iterations). vmap over a leading
+    batch axis for the batched polish pass.
+    """
+    dtype = source_points.dtype
+    current = apply_similarity(transform, source_points)
+    params = ICPParams.from_config(cfg, dtype)._replace(
+        max_iterations=jnp.asarray(
+            min(cfg.refine_polish_iterations or cfg.max_icp_iterations,
+                cfg.max_icp_iterations), jnp.int32))
+    nn_backend = cfg.refine_nn_backend or "auto"
+    if nn_backend == "auto":
+        nn_backend = "xla"
+    tgt_normals = None
+    if cfg.icp_variant == "point_to_plane":
+        from kss_icp_tpu.ops.normals import estimate_normals
+
+        tgt_normals = estimate_normals(target_points, target_mask)
+    res = icp(current, source_mask, target_points, target_mask, params,
+              precision=cfg.icp_precision, variant=cfg.icp_variant,
+              target_normals=tgt_normals, nn_backend=nn_backend)
+    total = compose(Similarity.from_rigid(res.rotation, res.translation),
+                    transform)
+    return total, res.fitness, res.iterations
 
 
 def _fps_backend(cfg: KSSICPConfig) -> str:
@@ -411,6 +459,14 @@ def register_pair(
         target.points[None], target.mask[None], pn, cfg
     )
     res = register_resampled(src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0], cfg)
+    if (cfg.refine_polish_iterations and cfg.refine_max_iterations
+            and bool(res.refine_hit_cap)):
+        # Two-stage converge continuation (KSSICPConfig.refine_polish_iterations).
+        tot, fit2, _ = polish_resampled(
+            src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0],
+            res.transform, cfg)
+        if float(fit2) < float(res.fitness):
+            res = res._replace(transform=tot, fitness=fit2)
     if cfg.auto_escalate:
         from kss_icp_tpu.escalate import escalate_rerun
 

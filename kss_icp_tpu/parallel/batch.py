@@ -135,6 +135,29 @@ def register_many(
     (sp, sm), (tp, tm) = resample_pairs(s_pts, s_msk, t_pts, t_msk, pnum, cfg)
     res = register_batch(sp, sm, tp, tm, cfg, mesh=mesh)
 
+    if cfg.refine_polish_iterations and cfg.refine_max_iterations:
+        # Two-stage converge: continue only the lanes whose capped batch
+        # converge ran out of budget (see KSSICPConfig.refine_polish_iterations).
+        from kss_icp_tpu.escalate import polish_rerun
+        from kss_icp_tpu.models.kss_icp import polish_resampled
+
+        def polish_resolve(sel):
+            sel_j = jnp.asarray(sel)
+            tot, fit2, _ = jax.vmap(
+                lambda a, b, c, d, t: polish_resampled(a, b, c, d, t, cfg)
+            )(sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
+              jax.tree.map(lambda x: x[sel_j], res.transform))
+            return tot, np.asarray(fit2)
+
+        tr_np, fit, _, _ = polish_rerun(
+            polish_resolve, np.asarray(res.refine_hit_cap), res.fitness,
+            cfg.escalate_pad, result=res.transform,
+        )
+        res = res._replace(
+            transform=jax.tree.map(jnp.asarray, tr_np),
+            fitness=jnp.asarray(fit),
+        )
+
     if escalate:
         from kss_icp_tpu.escalate import escalate_rerun
 
