@@ -83,6 +83,7 @@ def make_programs():
     the two-stage-converge polish pass. Module-level so
     scripts/prime_cache.py AOT-compiles bit-identical programs."""
     import jax
+    import jax.numpy as jnp
     from functools import partial
 
     from kss_icp_tpu.core.transforms import apply_similarity
@@ -102,7 +103,11 @@ def make_programs():
             return res.transform, res.fitness, res.refine_hit_cap
 
         tr, fit, hit = jax.vmap(one)(rs, rsm, rt, rtm)
-        return tr, fit, hit, rs, rsm, rt, rtm
+        # Outputs stay SMALL: the tunneled runtime pulls every output buffer
+        # to the host, so returning the (B, P, 3) resampled clouds costs
+        # ~65 ms/MB of wall per launch (measured: b23 168 -> 114 pairs/s).
+        # fitness and the hit-cap flag pack into one (B, 2) pull.
+        return tr, jnp.stack([fit, hit.astype(fit.dtype)], axis=-1)
 
     @jax.jit
     def measure_all(tr, sp, sm_, tp, tm_):
@@ -113,13 +118,18 @@ def make_programs():
         return jax.vmap(one)(tr, sp, sm_, tp, tm_)
 
     @partial(jax.jit, static_argnames=("cfg",))
-    def polish(sel, rs, rsm, rt, rtm, tr, cfg):
-        # Gather INSIDE the jit: one dispatch per polish launch (an eager
-        # rs[sel] would cost a tunnel round-trip per operand).
+    def polish(sel, sp, sm_, tp, tm_, pn, tr, cfg):
+        # Everything INSIDE one jit — gather the selected full-res rows,
+        # re-resample them (FPS is deterministic, so this reproduces the
+        # pipeline's working clouds; K-lane FPS costs ~15 ms vs the ~200 ms
+        # it would cost to ship resampled clouds out of the pipeline), then
+        # continue the capped converge warm-started from the composed
+        # transforms.
+        (rs, rsm), (rt, rtm) = resample_pairs(
+            sp[sel], sm_[sel], tp[sel], tm_[sel], pn[sel], cfg)
         tot, fit2, _ = jax.vmap(
             lambda a, b, c, d, t: polish_resampled(a, b, c, d, t, cfg)
-        )(rs[sel], rsm[sel], rt[sel], rtm[sel],
-          jax.tree.map(lambda x: x[sel], tr))
+        )(rs, rsm, rt, rtm, jax.tree.map(lambda x: x[sel], tr))
         return tot, fit2
 
     return pipeline, measure_all, polish
@@ -188,16 +198,16 @@ def main() -> int:
     def run_to_completion(a, c=cfg):
         """One full serving solve: fused pipeline + (when the two-stage
         converge is on) the warm-started polish of hit-cap lanes. Returns
-        (transform, fitness ndarray). The np.asarray pulls are the device
+        (transform, fitness ndarray). The np.asarray pull is the device
         fence: on the tunneled axon platform block_until_ready returns
-        before execution finishes, so pulling (tiny) host copies is the
-        only reliable fence."""
-        tr, fit, hit, rs, rsm, rt, rtm = pipeline(*a, c)
-        fit_np = np.asarray(fit)
-        hit_np = np.asarray(hit)
+        before execution finishes, so pulling the (tiny) packed
+        fitness/flag array is the only reliable fence."""
+        tr, packed = pipeline(*a, c)
+        packed_np = np.asarray(packed)
+        fit_np, hit_np = packed_np[:, 0], packed_np[:, 1] > 0.5
         if c.refine_polish_iterations and c.refine_max_iterations and hit_np.any():
             def resolve(sel):
-                tot, fit2 = polish(jnp.asarray(sel), rs, rsm, rt, rtm, tr, c)
+                tot, fit2 = polish(jnp.asarray(sel), *a, tr, c)
                 return tot, np.asarray(fit2)
 
             tr_np, fit_np, _, _ = polish_rerun(
@@ -268,7 +278,7 @@ def main() -> int:
             out2 = pipeline(*map(jnp.asarray,
                                  (sp[sel], sm_[sel], tp[sel], tm_[sel], pn[sel])),
                             ecfg)
-            return out2[0], np.asarray(out2[1])
+            return out2[0], np.asarray(out2[1])[:, 0]
 
         t0 = time.perf_counter()
         tr_all, fit_all, _, n_flagged = escalate_rerun(
@@ -327,6 +337,59 @@ def main() -> int:
         })
     except Exception as e:  # corpus data unavailable -> skip, don't fail bench
         log(f"saturated corpus unavailable: {e}")
+
+    # --- Challenge tail (untimed): procedural ModelNet40/SHREC/RGB-D
+    # analogues (kss_icp_tpu/challenge.py), judged by POSE error against
+    # the recorded ground truth. Chunked through the SAME batch-b pipeline
+    # program (repetition padding) so no new XLA program compiles.
+    try:
+        from kss_icp_tpu.challenge import challenge_corpus, transform_rmse
+        from kss_icp_tpu.core.transforms import apply_similarity
+
+        ecfg = cfg.escalation_config()
+        for scenario, cpairs, thr in challenge_corpus():
+            n = len(cpairs)
+            csp, csm, ctp, ctm, cpn = batch_arrays(
+                [(nm, s, t) for nm, s, t, _ in cpairs])
+            total = ((n + b - 1) // b) * b
+            idx = np.concatenate([np.arange(n), np.zeros(total - n, np.int64)])
+            trs, fits = [], []
+            for c in range(total // b):
+                sl = idx[c * b:(c + 1) * b]
+                tr_c, fit_c = run_to_completion(tuple(map(
+                    jnp.asarray, (csp[sl], csm[sl], ctp[sl], ctm[sl], cpn[sl]))))
+                trs.append(jax.tree.map(np.asarray, tr_c))
+                fits.append(fit_c)
+            tr_ch = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *trs)
+            fit_ch = np.concatenate(fits)[:n]
+
+            def cresolve(sel, _a=(csp, csm, ctp, ctm, cpn)):
+                o2 = pipeline(*map(jnp.asarray, (x[sel] for x in _a)), ecfg)
+                return o2[0], np.asarray(o2[1])[:, 0]
+
+            tr_ch, fit_ch, _, esc_n = escalate_rerun(
+                cresolve, fit_ch, cfg.escalate_threshold, pad_multiple=b,
+                result=tr_ch, chunk=b)
+            errs = np.asarray([
+                transform_rmse(
+                    np.asarray(apply_similarity(
+                        jax.tree.map(lambda x, _i=i: jnp.asarray(x[_i]), tr_ch),
+                        jnp.asarray(cpairs[i][1], jnp.float32))),
+                    cpairs[i][1], cpairs[i][3])
+                for i in range(n)])
+            fails = [cpairs[i][0] for i in np.nonzero(errs > thr)[0]]
+            log(f"challenge/{scenario}: {n} pairs, escalated={esc_n}, "
+                f"failures(pose>{thr})={len(fails)} {fails}, "
+                f"median pose_rmse={np.median(errs):.5f}")
+            extra_results.update({
+                f"challenge_{scenario}_pairs": n,
+                f"challenge_{scenario}_success_rate":
+                    round(1.0 - len(fails) / n, 4),
+                f"challenge_{scenario}_median_pose_rmse":
+                    round(float(np.median(errs)), 6),
+            })
+    except Exception as e:
+        log(f"challenge corpus unavailable: {e}")
 
     base_rate, base_src = reference_pairs_per_sec()
     result = {

@@ -87,19 +87,17 @@ def main() -> int:
     # multiples of escalate_pad; prime the first few rungs of that ladder
     # for both batch shapes.
     if cfg.refine_polish_iterations and cfg.refine_max_iterations:
-        rp = cfg.resample_pad
         for n in [b] + ([nsat] if nsat and nsat != b else []):
             tr_n = Similarity(
                 scale=f32((n,), np.float32),
                 rotation=f32((n, 3, 3), np.float32),
                 translation=f32((n, 3), np.float32),
             )
-            cloud = (f32((n, rp, 3), np.float32), f32((n, rp), bool),
-                     f32((n, rp, 3), np.float32), f32((n, rp), bool))
             for k in range(cfg.escalate_pad, min(4 * cfg.escalate_pad, n) + 1,
                            cfg.escalate_pad):
                 t0 = time.perf_counter()
-                polish.lower(f32((k,), np.int32), *cloud, tr_n, cfg).compile()
+                polish.lower(f32((k,), np.int32), *shapes(n), tr_n,
+                             cfg).compile()
                 dt = time.perf_counter() - t0
                 done.append((f"polish {k}-of-{n}", dt))
                 log(f"primed polish {k}-of-{n}: {dt:.1f}s")
