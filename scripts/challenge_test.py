@@ -29,7 +29,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--scenario", default=None,
-                    choices=[None, "category", "partial", "deform"])
+                    choices=[None, "category", "partial", "deform",
+                             "partial_hard"])
     ap.add_argument("--no-escalate", action="store_true")
     ap.add_argument("--json", default=None, metavar="FILE",
                     help="write the summary dict as JSON")
@@ -49,7 +50,7 @@ def main() -> int:
 
     cfg = bench_config()
     summary = {}
-    for scenario, pairs, thr in challenge_corpus():
+    for scenario, pairs, thr in challenge_corpus(include_hard=True):
         if args.scenario and scenario != args.scenario:
             continue
         t0 = time.perf_counter()
