@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("out_dir", nargs="?", default="gallery")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--models", nargs="*", default=None)
+    ap.add_argument("--challenge", action="store_true",
+                    help="render the procedural challenge corpus "
+                         "(kss_icp_tpu/challenge.py) instead of a "
+                         ".gird/.wlop directory")
     args = ap.parse_args()
 
     if args.platform:
@@ -47,14 +51,25 @@ def main() -> int:
     data = Path(args.data_dir)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    models = args.models or sorted(
-        {p.stem for p in data.glob("*.gird")} & {p.stem for p in data.glob("*.wlop")}
-    )
+    if args.challenge:
+        from kss_icp_tpu.challenge import challenge_corpus
+
+        pairs = {f"{scen}_{nm.replace('/', '_')}": (s, t)
+                 for scen, ps, _thr in challenge_corpus()
+                 for nm, s, t, _gt in ps}
+        models = args.models or sorted(pairs)
+    else:
+        models = args.models or sorted(
+            {p.stem for p in data.glob("*.gird")} & {p.stem for p in data.glob("*.wlop")}
+        )
     cfg = KSSICPConfig(max_candidates=16)
 
     for name in models:
-        src = load_points(data / f"{name}.gird")
-        tgt = load_points(data / f"{name}.wlop")
+        if args.challenge:
+            src, tgt = pairs[name]
+        else:
+            src = load_points(data / f"{name}.gird")
+            tgt = load_points(data / f"{name}.wlop")
         t0 = time.perf_counter()
         res = register_pair(src, tgt, cfg)
         aligned = np.asarray(apply_similarity(res.transform, jnp.asarray(src, jnp.float32)))
