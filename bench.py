@@ -258,8 +258,12 @@ def main() -> int:
         from kss_icp_tpu.stress import remesh_corpus, stress_corpus
 
         stress = stress_corpus()
-        remesh = [(nm, s, t) for nm, s, t, _ in remesh_corpus()]
-        corpora = [("golden", pairs), ("stress", stress), ("remesh", remesh)]
+        corpora = [("golden", pairs), ("stress", stress)]
+        try:
+            corpora.append(
+                ("remesh", [(nm, s, t) for nm, s, t, _ in remesh_corpus()]))
+        except Exception as e:  # fixtures absent -> degrade, keep stress
+            log(f"remesh corpus unavailable: {e}")
         allp = [p for _, c in corpora for p in c]
         nsat = len(allp)
         sat = batch_arrays(allp)
@@ -281,9 +285,12 @@ def main() -> int:
             return out2[0], np.asarray(out2[1])[:, 0]
 
         t0 = time.perf_counter()
+        # cap at a MULTIPLE of b: padded_selection's default cap (=nsat)
+        # would otherwise allow a trailing non-b chunk — a new, unprimed
+        # XLA program shape.
         tr_all, fit_all, _, n_flagged = escalate_rerun(
             resolve, fit_all, cfg.escalate_threshold, pad_multiple=b,
-            result=tr_all, chunk=b)
+            result=tr_all, chunk=b, cap=((nsat + b - 1) // b) * b)
         esc_dt = time.perf_counter() - t0
         rm_all = measure_chunked(tr_all, sp, sm_, tp, tm_)
         log(f"saturated batch: {nsat} pairs, escalated={n_flagged} "
@@ -369,7 +376,7 @@ def main() -> int:
 
             tr_ch, fit_ch, _, esc_n = escalate_rerun(
                 cresolve, fit_ch, cfg.escalate_threshold, pad_multiple=b,
-                result=tr_ch, chunk=b)
+                result=tr_ch, chunk=b, cap=((n + b - 1) // b) * b)
             errs = np.asarray([
                 transform_rmse(
                     np.asarray(apply_similarity(

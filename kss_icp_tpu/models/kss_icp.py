@@ -207,6 +207,19 @@ def register_resampled(
             )
             fit_a = jnp.where(coarse.candidate_mask[sel], res_a.fitness, _BIG)
             judge_a = fit_a[0]
+            if rtp and rtp < target_points.shape[0]:
+                # The gate (KSS_ICP.hpp:99) compares an ABSOLUTE threshold,
+                # and a prefix target inflates mean squared NN distance —
+                # re-evaluate candidate 0's fitness against the FULL target
+                # (max_iterations=0 runs no steps, just the warm-started
+                # fitness evaluation; one NN pass for one lane).
+                probe = refine_icp(
+                    rotated[sel][0], source_mask, target_points, target_mask,
+                    params._replace(max_iterations=jnp.asarray(0, jnp.int32)),
+                    res_a.rotation[0], res_a.translation[0],
+                )
+                judge_a = jnp.where(coarse.candidate_mask[sel][0],
+                                    probe.fitness, _BIG)
             local_a = jnp.where(judge_a <= cfg.multistart_fitness_gate,
                                 0, jnp.argmin(fit_a))
             res = refine_icp(
@@ -238,11 +251,19 @@ def register_resampled(
         full_icp = partial(icp, precision=cfg.icp_precision,
                            variant=cfg.icp_variant, target_normals=tgt_normals,
                            nn_backend=nn_backend)
+        full_params = params
+        if cfg.refine_max_iterations:
+            # The final-converge cap applies in full-multistart mode too —
+            # its whole point is bounding the lockstep while_loop tail.
+            full_params = params._replace(
+                max_iterations=jnp.asarray(
+                    min(cfg.refine_max_iterations, cfg.max_icp_iterations),
+                    jnp.int32))
         res = jax.vmap(full_icp, in_axes=(0, None, None, None, None))(
-            rotated, source_mask, target_points, target_mask, params
+            rotated, source_mask, target_points, target_mask, full_params
         )
         fit = jnp.where(coarse.candidate_mask, res.fitness, _BIG)
-        final_cap = params.max_iterations
+        final_cap = full_params.max_iterations
 
     judge_fitness = fit[0]  # slot 0 == best grid angle in both modes
     use_best = judge_fitness <= cfg.multistart_fitness_gate

@@ -33,18 +33,19 @@ MEDIAN_BOUND = 0.0140
 
 @pytest.mark.slow
 def test_all_golden_pairs_within_oracle_band():
-    from kss_icp_tpu.config import KSSICPConfig
+    import sys
+
     from kss_icp_tpu.parallel.batch import register_many
     from kss_icp_tpu.stress import golden_corpus
+
+    sys.path.insert(0, str(REPO))
+    from bench import bench_config  # the SHIPPING config — never a copy
 
     oracle = json.loads(ORACLE.read_text())["pairs"]
     corpus = golden_corpus()
     assert len(corpus) == 23 and set(n for n, _, _ in corpus) == set(oracle)
 
-    cfg = KSSICPConfig(max_candidates=6, coarse_points=512,
-                       coarse_target_points=512, refine_candidates=2,
-                       refine_tier_iterations=12)
-    _, metrics = register_many([(s, t) for _, s, t in corpus], cfg)
+    _, metrics = register_many([(s, t) for _, s, t in corpus], bench_config())
 
     failures = []
     for i, (name, _, _) in enumerate(corpus):
