@@ -35,12 +35,10 @@ BASE = dict(max_candidates=6, coarse_points=512, coarse_target_points=512,
 # 2 bad lanes impose; polish at 48 finishes them off-loop.
 VARIANTS = [
     ("cap48", dict(refine_max_iterations=48)),
-    # Lanes on TPU iterate far longer than on CPU (<= 14): the high-precision
-    # (bf16x3) NN argmins flip between near-tied references each iteration,
-    # so the 1e-10 transform epsilons never fire. Exact refine
-    # correspondences double per-iteration matmul cost but may stabilize
-    # matches and cut iterations.
-    ("cap48_hst", dict(refine_max_iterations=48, icp_precision="highest")),
+    # Stage-1 cap 16 cut 11 mid-oscillation lanes and lost (measured);
+    # at 32 only the true non-convergers should hit the cap, with polish
+    # preserving their accuracy while the lockstep tail drops 48 -> 32.
+    ("s32_p48", dict(refine_max_iterations=32, refine_polish_iterations=48)),
 ]
 
 print("device:", jax.devices()[0].device_kind, flush=True)
