@@ -198,10 +198,12 @@ def main() -> int:
     def run_to_completion(a, c=cfg):
         """One full serving solve: fused pipeline + (when the two-stage
         converge is on) the warm-started polish of hit-cap lanes. Returns
-        (transform, fitness ndarray). The np.asarray pull is the device
-        fence: on the tunneled axon platform block_until_ready returns
-        before execution finishes, so pulling the (tiny) packed
-        fitness/flag array is the only reliable fence."""
+        (transform, fitness ndarray, hit_cap ndarray) — hit_cap marks lanes
+        still unconverged after this pass (the escalation selection folds
+        them in so no capped-out lane ships silently, ADVICE r3). The
+        np.asarray pull is the device fence: on the tunneled axon platform
+        block_until_ready returns before execution finishes, so pulling the
+        (tiny) packed fitness/flag array is the only reliable fence."""
         tr, packed = pipeline(*a, c)
         packed_np = np.asarray(packed)
         fit_np, hit_np = packed_np[:, 0], packed_np[:, 1] > 0.5
@@ -212,8 +214,9 @@ def main() -> int:
 
             tr_np, fit_np, _, _ = polish_rerun(
                 resolve, hit_np, fit_np, c.escalate_pad, result=tr)
-            return jax.tree.map(jnp.asarray, tr_np), fit_np
-        return tr, fit_np
+            hit_np = np.zeros_like(hit_np)  # polished lanes ran to completion
+            return jax.tree.map(jnp.asarray, tr_np), fit_np, hit_np
+        return tr, fit_np, hit_np
 
     def timed(a, n_pairs, label):
         log(f"compiling {label}...")
@@ -230,7 +233,7 @@ def main() -> int:
         return out, rate
 
     out, pairs_per_sec = timed(args, b, f"batch-{b}")
-    transform, fitness = out
+    transform, fitness = out[0], out[1]
 
     # Accuracy: full-res RMSE per pair via the batch-b measure program;
     # larger corpora are chunked through the SAME program (one compile).
@@ -271,6 +274,7 @@ def main() -> int:
         out_s, sat_rate = timed(sat_j, nsat, f"batch-{nsat} saturated")
         tr_all = jax.tree.map(np.asarray, out_s[0])
         fit_all = np.asarray(out_s[1])
+        hit_all = np.asarray(out_s[2])
 
         # Escalation (shared helper; reference intent KSS_ICP.hpp:99-121):
         # flagged pairs re-solve on the 16^3 grid, chunked at batch b so the
@@ -290,7 +294,8 @@ def main() -> int:
         # XLA program shape.
         tr_all, fit_all, _, n_flagged = escalate_rerun(
             resolve, fit_all, cfg.escalate_threshold, pad_multiple=b,
-            result=tr_all, chunk=b, cap=((nsat + b - 1) // b) * b)
+            result=tr_all, chunk=b, cap=((nsat + b - 1) // b) * b,
+            flags=(fit_all > cfg.escalate_threshold) | hit_all)
         esc_dt = time.perf_counter() - t0
         rm_all = measure_chunked(tr_all, sp, sm_, tp, tm_)
         log(f"saturated batch: {nsat} pairs, escalated={n_flagged} "
@@ -360,15 +365,17 @@ def main() -> int:
                 [(nm, s, t) for nm, s, t, _ in cpairs])
             total = ((n + b - 1) // b) * b
             idx = np.concatenate([np.arange(n), np.zeros(total - n, np.int64)])
-            trs, fits = [], []
+            trs, fits, hits = [], [], []
             for c in range(total // b):
                 sl = idx[c * b:(c + 1) * b]
-                tr_c, fit_c = run_to_completion(tuple(map(
+                tr_c, fit_c, hit_c = run_to_completion(tuple(map(
                     jnp.asarray, (csp[sl], csm[sl], ctp[sl], ctm[sl], cpn[sl]))))
                 trs.append(jax.tree.map(np.asarray, tr_c))
                 fits.append(fit_c)
+                hits.append(hit_c)
             tr_ch = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *trs)
             fit_ch = np.concatenate(fits)[:n]
+            hit_ch = np.concatenate(hits)[:n]
 
             def cresolve(sel, _a=(csp, csm, ctp, ctm, cpn)):
                 o2 = pipeline(*map(jnp.asarray, (x[sel] for x in _a)), ecfg)
@@ -376,7 +383,8 @@ def main() -> int:
 
             tr_ch, fit_ch, _, esc_n = escalate_rerun(
                 cresolve, fit_ch, cfg.escalate_threshold, pad_multiple=b,
-                result=tr_ch, chunk=b, cap=((n + b - 1) // b) * b)
+                result=tr_ch, chunk=b, cap=((n + b - 1) // b) * b,
+                flags=(fit_ch > cfg.escalate_threshold) | hit_ch)
             errs = np.asarray([
                 transform_rmse(
                     np.asarray(apply_similarity(

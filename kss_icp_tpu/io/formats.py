@@ -141,10 +141,10 @@ def load_ply(path: PathLike) -> np.ndarray:
     return _load_ply_props(Path(path))[0]
 
 
-def _load_ply_props(path: Path) -> tuple:
-    """Internal: ((N, 3) xyz, {"props": vertex props, "columns": {name: col}})."""
-    with open(path, "rb") as f:
-        data = f.read()
+def _parse_ply_header(path: Path, data: bytes) -> tuple:
+    """Parse a PLY header: (fmt, elements, header_end_offset). Each element
+    is {"name", "count", "props"} with props ("scalar", dtype, name) or
+    ("list", count_dtype, item_dtype, name)."""
     header_end = data.find(b"end_header")
     if header_end < 0:
         raise ValueError(f"{path}: not a PLY file (no end_header)")
@@ -168,6 +168,18 @@ def _load_ply_props(path: Path) -> tuple:
                 cur["props"].append(("list", parts[2], parts[3], parts[4]))
             else:
                 cur["props"].append(("scalar", parts[1], parts[2]))
+    return fmt, elements, header_end
+
+
+# Byte-order prefix per PLY binary format name.
+_PLY_ENDIAN = {"binary_little_endian": "<", "binary_big_endian": ">"}
+
+
+def _load_ply_props(path: Path) -> tuple:
+    """Internal: ((N, 3) xyz, {"props": vertex props, "columns": {name: col}})."""
+    with open(path, "rb") as f:
+        data = f.read()
+    fmt, elements, header_end = _parse_ply_header(path, data)
 
     vertex = next((e for e in elements if e["name"] == "vertex"), None)
     if vertex is None:
@@ -189,8 +201,9 @@ def _load_ply_props(path: Path) -> tuple:
             {"props": vertex["props"], "columns": columns},
         )
 
-    if fmt != "binary_little_endian":
+    if fmt not in _PLY_ENDIAN:
         raise ValueError(f"{path}: unsupported PLY format {fmt}")
+    bo = _PLY_ENDIAN[fmt]
 
     offset = header_end
     for elem in elements:
@@ -199,7 +212,7 @@ def _load_ply_props(path: Path) -> tuple:
             for p in elem["props"]:
                 if p[0] == "list":
                     raise ValueError("list property on vertex unsupported")
-                fields.append((p[2], "<" + _PLY_TYPES[p[1]]))
+                fields.append((p[2], bo + _PLY_TYPES[p[1]]))
             arr = np.frombuffer(
                 data, dtype=np.dtype(fields), count=elem["count"], offset=offset
             )
@@ -213,25 +226,106 @@ def _load_ply_props(path: Path) -> tuple:
             )
         # Skip a non-vertex element; only fixed-size elements can be skipped
         # blindly, list elements (faces) require a walk.
-        size = 0
         has_list = any(p[0] == "list" for p in elem["props"])
         if has_list:
             for _ in range(elem["count"]):
                 for p in elem["props"]:
                     if p[0] == "list":
-                        cdt = np.dtype("<" + _PLY_TYPES[p[1]])
+                        cdt = np.dtype(bo + _PLY_TYPES[p[1]])
                         n = int(
                             np.frombuffer(data, cdt, count=1, offset=offset)[0]
                         )
                         offset += cdt.itemsize + n * np.dtype(
-                            "<" + _PLY_TYPES[p[2]]
+                            bo + _PLY_TYPES[p[2]]
                         ).itemsize
                     else:
-                        offset += np.dtype("<" + _PLY_TYPES[p[1]]).itemsize
+                        offset += np.dtype(bo + _PLY_TYPES[p[1]]).itemsize
         else:
-            size = sum(np.dtype("<" + _PLY_TYPES[p[1]]).itemsize for p in elem["props"])
+            size = sum(np.dtype(bo + _PLY_TYPES[p[1]]).itemsize for p in elem["props"])
             offset += size * elem["count"]
     raise ValueError(f"{path}: vertex element not reachable")
+
+
+def _load_ply_mesh(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    """PLY vertices + triangle faces (CPLYLoader semantics, PlyLoad.cpp:
+    118-172: faces come from the `vertex_indices`/`vertex_index` list of the
+    face element; polygons are fan-triangulated exactly as the reference's
+    (0, t, t+1) loop). Handles ascii, binary LE and binary BE bodies."""
+    with open(path, "rb") as f:
+        data = f.read()
+    fmt, elements, header_end = _parse_ply_header(path, data)
+    verts = load_ply(path)
+
+    face = next((e for e in elements if e["name"] == "face"), None)
+    if face is None or face["count"] == 0:
+        return verts, np.zeros((0, 3), np.int64)
+
+    if fmt == "ascii":
+        body = data[header_end:].decode("ascii", errors="replace").split()
+        pos = 0
+        # Walk elements in declaration order; all-scalar elements consume
+        # count*n_props tokens, list elements one count token + n items each.
+        polys = []
+        for elem in elements:
+            if elem["name"] == "face":
+                for _ in range(elem["count"]):
+                    k = int(float(body[pos]))
+                    polys.append(
+                        [int(float(t)) for t in body[pos + 1 : pos + 1 + k]]
+                    )
+                    pos += 1 + k
+                break
+            if any(p[0] == "list" for p in elem["props"]):
+                for _ in range(elem["count"]):
+                    k = int(float(body[pos]))
+                    pos += 1 + k
+            else:
+                pos += elem["count"] * len(elem["props"])
+        return verts, _fan_triangulate(polys)
+
+    if fmt not in _PLY_ENDIAN:
+        raise ValueError(f"{path}: unsupported PLY format {fmt}")
+    bo = _PLY_ENDIAN[fmt]
+
+    offset = header_end
+    for elem in elements:
+        if elem["name"] == "face":
+            polys = []
+            for _ in range(elem["count"]):
+                row = []
+                for p in elem["props"]:
+                    if p[0] == "list":
+                        cdt = np.dtype(bo + _PLY_TYPES[p[1]])
+                        idt = np.dtype(bo + _PLY_TYPES[p[2]])
+                        k = int(np.frombuffer(data, cdt, 1, offset)[0])
+                        offset += cdt.itemsize
+                        vals = np.frombuffer(data, idt, k, offset)
+                        offset += k * idt.itemsize
+                        if p[3] in ("vertex_indices", "vertex_index"):
+                            row = [int(v) for v in vals]
+                    else:
+                        offset += np.dtype(bo + _PLY_TYPES[p[1]]).itemsize
+                if row:
+                    polys.append(row)
+            return verts, _fan_triangulate(polys)
+        # skip this element's body
+        if any(p[0] == "list" for p in elem["props"]):
+            for _ in range(elem["count"]):
+                for p in elem["props"]:
+                    if p[0] == "list":
+                        cdt = np.dtype(bo + _PLY_TYPES[p[1]])
+                        k = int(np.frombuffer(data, cdt, 1, offset)[0])
+                        offset += cdt.itemsize + k * np.dtype(
+                            bo + _PLY_TYPES[p[2]]
+                        ).itemsize
+                    else:
+                        offset += np.dtype(bo + _PLY_TYPES[p[1]]).itemsize
+        else:
+            size = sum(
+                np.dtype(bo + _PLY_TYPES[p[1]]).itemsize for p in elem["props"]
+            )
+            offset += size * elem["count"]
+    return verts, np.zeros((0, 3), np.int64)
 
 
 class UniformInfo:
@@ -283,16 +377,19 @@ def save_normals(path: PathLike, normals: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 def load_mesh(path: PathLike) -> tuple[np.ndarray, np.ndarray]:
-    """Load (vertices (V, 3) f64, triangle faces (F, 3) i64) from OFF or OBJ.
-    Polygons are fan-triangulated. Face-free inputs return an empty face
-    array. (The reference reads faces via GLM glmReadOBJ and the OFF parser
-    at LoadPointCloud.hpp:146-207.)"""
+    """Load (vertices (V, 3) f64, triangle faces (F, 3) i64) from OFF, OBJ
+    or PLY. Polygons are fan-triangulated. Face-free inputs return an empty
+    face array. (The reference reads faces via GLM glmReadOBJ, the OFF
+    parser at LoadPointCloud.hpp:146-207, and the PLY face parser at
+    PlyLoad.cpp:118-172.)"""
     p = Path(path)
     ext = p.suffix.lower()
     if ext == ".off":
         return _load_off_mesh(p)
     if ext == ".obj":
         return _load_obj_mesh(p)
+    if ext == ".ply":
+        return _load_ply_mesh(p)
     raise ValueError(f"load_mesh: unsupported extension {ext}")
 
 
@@ -394,15 +491,46 @@ def save_xyz(path: PathLike, points: np.ndarray, prefer_native: bool = True) -> 
         np.savetxt(f, pts, fmt="%.6g")
 
 
-def save_ply(path: PathLike, points: np.ndarray) -> None:
-    """Write a minimal binary_little_endian PLY."""
+def save_ply(
+    path: PathLike,
+    points: np.ndarray,
+    faces: np.ndarray | None = None,
+    fmt: str = "binary_little_endian",
+) -> None:
+    """Write a PLY. `faces` (F, 3) adds a face element with the standard
+    `uchar count + int vertex_indices` list layout (the shape CPLYLoader
+    parses, PlyLoad.cpp:118-172). fmt: "ascii" | "binary_little_endian" |
+    "binary_big_endian"."""
     pts = np.ascontiguousarray(np.asarray(points, dtype=np.float32))
+    tris = None if faces is None else np.asarray(faces, np.int32)
     header = (
-        "ply\nformat binary_little_endian 1.0\n"
+        f"ply\nformat {fmt} 1.0\n"
         f"element vertex {pts.shape[0]}\n"
         "property float x\nproperty float y\nproperty float z\n"
-        "end_header\n"
     )
+    if tris is not None:
+        header += (
+            f"element face {tris.shape[0]}\n"
+            "property list uchar int vertex_indices\n"
+        )
+    header += "end_header\n"
+    if fmt == "ascii":
+        with open(path, "w") as f:
+            f.write(header)
+            np.savetxt(f, pts, fmt="%.9g")
+            if tris is not None:
+                for t in tris:
+                    f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+        return
+    if fmt not in _PLY_ENDIAN:
+        raise ValueError(f"save_ply: unsupported format {fmt}")
+    bo = _PLY_ENDIAN[fmt]
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        f.write(pts.tobytes())
+        f.write(pts.astype(bo + "f4").tobytes())
+        if tris is not None:
+            row = np.dtype([("n", "u1"), ("idx", bo + "i4", (3,))])
+            out = np.empty(tris.shape[0], row)
+            out["n"] = 3
+            out["idx"] = tris
+            f.write(out.tobytes())

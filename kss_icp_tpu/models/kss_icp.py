@@ -237,7 +237,12 @@ def register_resampled(
                 used_multistart=judge_a > cfg.multistart_fitness_gate,
                 chosen_candidate=choice,
                 icp_iterations=res_a.iterations[local_a] + res.iterations,
-                refine_hit_cap=res.iterations >= refine_params.max_iterations,
+                # A lane that converges exactly on its last allowed iteration
+                # is NOT capped-out — only flag genuinely unfinished lanes
+                # (ADVICE r3: a converged flag wasted a polish dispatch).
+                refine_hit_cap=jnp.logical_and(
+                    res.iterations >= refine_params.max_iterations,
+                    jnp.logical_not(res.converged)),
                 coarse=coarse,
             )
         res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
@@ -284,7 +289,9 @@ def register_resampled(
         used_multistart=jnp.logical_not(use_best),
         chosen_candidate=choice,
         icp_iterations=res.iterations[local],
-        refine_hit_cap=res.iterations[local] >= final_cap,
+        refine_hit_cap=jnp.logical_and(
+            res.iterations[local] >= final_cap,
+            jnp.logical_not(res.converged[local])),
         coarse=coarse,
     )
 
@@ -488,6 +495,8 @@ def register_pair(
             res.transform, cfg)
         if float(fit2) < float(res.fitness):
             res = res._replace(transform=tot, fitness=fit2)
+        # The polish pass is the designated finisher for capped lanes.
+        res = res._replace(refine_hit_cap=jnp.asarray(False))
     if cfg.auto_escalate:
         from kss_icp_tpu.escalate import escalate_rerun
 
@@ -498,9 +507,15 @@ def register_pair(
             )
             return r2, np.asarray(r2.fitness)[None]
 
+        # Fold in the hit-cap flag: a lane still unconverged after the capped
+        # final converge (and any polish pass) must be finished by the
+        # uncapped escalation solve, whatever its fitness (ADVICE r3).
+        flag = (float(res.fitness) > cfg.escalate_threshold
+                or bool(res.refine_hit_cap))
         _, _, wins, _ = escalate_rerun(
             resolve, np.asarray(res.fitness)[None],
             cfg.escalate_threshold, pad_multiple=1,
+            flags=np.asarray([flag]),
         )
         if wins:
             return wins[-1][1]

