@@ -202,6 +202,125 @@ def _batch(args) -> int:
     return 0
 
 
+def _bench_dir(args) -> int:
+    """Full bench protocol over a user-supplied directory of model pairs —
+    the ingestion path for real ModelNet40/SHREC/RGB-D data (the reference's
+    evaluation protocol, Examples/{modelNet40,shrec,RGB3D}.pdf, runs exactly
+    this shape over its bundled pairs, Main_KSS_List.cpp:151-179).
+
+    Discovers every `<name><source-ext>` with a matching
+    `<name><target-ext>`, registers the whole set as one batched jitted
+    program (resample -> coarse -> multi-start ICP -> escalation), reports
+    per-pair MSE/RMSE/MAE, and — when a transfer.txt-style manifest records
+    the ground-truth perturbations — scores each recovered transform by
+    POSE error (RMSE between recovered- and truth-aligned source points)
+    with a success-rate summary. Drop a real dataset directory in and the
+    whole bench protocol runs unmodified."""
+    _apply_platform(args)
+    import jax
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.transforms import apply_similarity
+    from kss_icp_tpu.io.formats import load_points
+    from kss_icp_tpu.parallel.batch import register_many
+    from kss_icp_tpu.transfer import (
+        axis_rotation_matrix,
+        load_transfer_log,
+    )
+
+    cfg = _cfg_from_args(args)
+    data = Path(args.data_dir)
+    if not data.is_dir():
+        print(f"error: {data} is not a directory", file=sys.stderr)
+        return 2
+
+    names = sorted(
+        p.name[: -len(args.source_ext)]
+        for p in data.glob(f"*{args.source_ext}")
+        if (data / f"{p.name[: -len(args.source_ext)]}{args.target_ext}").exists()
+    )
+    if args.limit:
+        names = names[: args.limit]
+    if not names:
+        print(f"error: no <name>{args.source_ext} / <name>{args.target_ext} "
+              f"pairs found in {data}", file=sys.stderr)
+        return 2
+
+    # Ground-truth manifest (transfer.txt protocol): pose-score any pair
+    # whose name has a record.
+    manifest = Path(args.manifest) if args.manifest else data / "transfer.txt"
+    records = {}
+    if manifest.exists():
+        records = {r.name: r for r in load_transfer_log(manifest)}
+        print(f"manifest: {manifest} ({len(records)} records)")
+
+    pairs = [
+        (load_points(data / f"{n}{args.source_ext}"),
+         load_points(data / f"{n}{args.target_ext}"))
+        for n in names
+    ]
+    t0 = time.perf_counter()
+    res, metrics = register_many(pairs, cfg, full_pad=args.full_pad,
+                                 escalate=args.escalate)
+    dt = time.perf_counter() - t0
+
+    def truth_aligned(src, rec):
+        # Invert apply_record (rotate -> scale-about-centroid -> uniform
+        # translate): the centroid is a fixed point of the scale, so it can
+        # be recovered from the translated cloud.
+        pts = np.asarray(src, np.float64) - rec.translation
+        if rec.scale != 1.0:
+            c = pts.mean(axis=0)
+            pts = (pts - c) / rec.scale + c
+        return pts @ axis_rotation_matrix(rec.axis, rec.angle)
+
+    rows = []
+    n_scored = n_pass = 0
+    for i, name in enumerate(names):
+        row = {"name": name,
+               "mse": float(metrics["mse"][i]),
+               "rmse": float(metrics["rmse"][i]),
+               "mae": float(metrics["mae"][i]),
+               "fitness": float(np.asarray(res.fitness)[i])}
+        line = (f"{name:16s} MSE={row['mse']:.6g} RMSE={row['rmse']:.6g} "
+                f"MAE={row['mae']:.6g}")
+        if name in records:
+            src = np.asarray(pairs[i][0], np.float32)
+            rec_aligned = np.asarray(apply_similarity(
+                jax.tree.map(lambda x, _i=i: x[_i], res.transform),
+                jnp.asarray(src)))
+            d = rec_aligned - truth_aligned(src, records[name])
+            pose = float(np.sqrt(np.mean(np.sum(d * d, axis=-1))))
+            ok = pose <= args.pose_threshold
+            row.update(pose_rmse=pose, pose_ok=ok)
+            n_scored += 1
+            n_pass += int(ok)
+            line += f" pose={pose:.5f} [{'ok' if ok else 'FAIL'}]"
+        rows.append(row)
+        print(line)
+    print(f"{'TOTAL':16s} pairs={len(names)} time={dt:.3f}s (incl. compile) "
+          f"pairs/sec={len(names)/dt:.3f}")
+    summary = {
+        "dir": str(data), "pairs": len(names), "time_s": round(dt, 3),
+        "pairs_per_sec": round(len(names) / dt, 4),
+        "median_rmse": round(float(np.median(metrics["rmse"])), 6),
+    }
+    if n_scored:
+        poses = [r["pose_rmse"] for r in rows if "pose_rmse" in r]
+        summary.update(
+            pose_scored=n_scored,
+            pose_success_rate=round(n_pass / n_scored, 4),
+            median_pose_rmse=round(float(np.median(poses)), 6),
+        )
+        print(f"{'POSE':16s} scored={n_scored} success={n_pass}/{n_scored} "
+              f"median_pose_rmse={summary['median_pose_rmse']:.5f}")
+    if args.json:
+        Path(args.json).write_text(
+            json.dumps({**summary, "rows": rows}, indent=1))
+        print(f"wrote {args.json}")
+    return 0
+
+
 def _measure(args) -> int:
     _apply_platform(args)
     from kss_icp_tpu.io.formats import load_points
@@ -451,6 +570,30 @@ def main(argv=None) -> int:
                    help="register the whole list as one jitted program")
     add_common(p)
     p.set_defaults(fn=_batch)
+
+    p = sub.add_parser(
+        "bench-dir",
+        help="run the full bench protocol over a directory of model pairs "
+             "(real ModelNet40/SHREC/RGB-D ingestion; pose-scored when a "
+             "transfer.txt manifest is present)")
+    p.add_argument("data_dir")
+    p.add_argument("--source-ext", default=".gird",
+                   help="source suffix (e.g. .gird, _source.ply)")
+    p.add_argument("--target-ext", default=".wlop",
+                   help="target suffix (e.g. .wlop, _target.ply)")
+    p.add_argument("--manifest", default=None,
+                   help="transfer.txt-style ground-truth log "
+                        "(default: <dir>/transfer.txt if present)")
+    p.add_argument("--pose-threshold", type=float, default=0.1,
+                   help="pose-RMSE success bar for manifest-scored pairs")
+    p.add_argument("--full-pad", type=int, default=8192,
+                   help="static padded cloud size")
+    p.add_argument("--limit", type=int, default=0,
+                   help="only the first N discovered pairs")
+    p.add_argument("--json", default=None, metavar="FILE",
+                   help="write the per-pair table + summary as JSON")
+    add_common(p)
+    p.set_defaults(fn=_bench_dir)
 
     p = sub.add_parser("serve", help="JSONL registration server on stdin/stdout")
     p.add_argument("--full-pad", type=int, default=8192,

@@ -162,6 +162,35 @@ class KSSICPConfig:
     # minutes each).
     escalate_pad: int = 8
 
+    # --- Overlap-robust mode (no reference analogue) ---
+    # The reference's capability surface includes partially-overlapping
+    # RGB-D scene scans (README.md:9, Examples/RGB3D.pdf, EXE/start_Cuda.bat
+    # Room/block runs) but its Kendall pre-shape normalization estimates
+    # centroid + scale from ALL points (initRegistrationKSS.hpp:144-220), so
+    # asymmetric crops bias the coarse field into the wrong basin — a
+    # limitation this mode removes with three trims:
+    #   coarse field  -> "trim" error metric (best-q quantile of NN dists),
+    #   ICP           -> per-iteration q-quantile correspondence gate +
+    #                    trimmed fitness (icp_trim_fraction),
+    #   pre-shape     -> re-estimated on the mutual-inlier masks of the
+    #                    previous solve, iterated (register_overlap_resampled).
+    # Reached either explicitly (overlap_mode=True / CLI --overlap) or
+    # automatically: the escalation ladder runs the overlap tier for pairs
+    # still fitness-flagged after the fine-grid pass (see
+    # models/kss_icp.register_overlap_resampled and escalate.py).
+    overlap_mode: bool = False
+    # Fraction of points assumed mutually visible (the trim quantile). 0.7
+    # keeps the gates meaningful down to ~60%-overlap scans while barely
+    # perturbing full-overlap solves.
+    overlap_trim_fraction: float = 0.7
+    # Full re-solves in register_overlap_resampled: solve -> inlier masks ->
+    # re-normalized solve, unrolled. 2 = one mask re-estimate.
+    overlap_iterations: int = 2
+    # Per-stage trim knobs the overlap config derives from
+    # overlap_trim_fraction (exposed so each can be tuned/ablated).
+    icp_trim_fraction: float = 0.0
+    coarse_trim_fraction: float = 0.7
+
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
     rotation_chunk: int = 64         # rotations scored per lax.map step

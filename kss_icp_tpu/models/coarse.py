@@ -68,7 +68,7 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
-@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend", "method", "error_metric"))
+@partial(jax.jit, static_argnames=("steps", "chunk", "precision", "backend", "method", "error_metric", "trim_fraction"))
 def score_rotation_field(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -82,6 +82,7 @@ def score_rotation_field(
     backend: str = "auto",
     method: str = "vpu",
     error_metric: str = "ave",
+    trim_fraction: float = 0.7,
 ) -> jnp.ndarray:
     """Alignment-error field over the full rotation grid.
 
@@ -123,6 +124,7 @@ def score_rotation_field(
         return masked_nn_error(
             rotated, source_mask[None, :], target[None, :, :],
             target_mask[None, :], metric=error_metric, precision=prec,
+            trim_fraction=trim_fraction,
         )
 
     scores = jax.lax.map(score_chunk, rots.reshape(total // chunk, chunk, 3, 3))
@@ -146,7 +148,7 @@ def local_minima_mask(field: jnp.ndarray, radius: int) -> jnp.ndarray:
     return field <= pooled
 
 
-@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend", "method", "error_metric"))
+@partial(jax.jit, static_argnames=("steps", "radius", "max_candidates", "chunk", "precision", "backend", "method", "error_metric", "trim_fraction"))
 def coarse_align(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -162,6 +164,7 @@ def coarse_align(
     backend: str = "auto",
     method: str = "vpu",
     error_metric: str = "ave",
+    trim_fraction: float = 0.7,
 ) -> CoarseResult:
     """Score the grid, extract local minima, rank candidates by error.
 
@@ -174,7 +177,7 @@ def coarse_align(
     field = score_rotation_field(
         source, source_mask, target, target_mask, steps=steps, span=span,
         chunk=chunk, precision=precision, backend=backend, method=method,
-        error_metric=error_metric,
+        error_metric=error_metric, trim_fraction=trim_fraction,
     )
     is_min = local_minima_mask(field, radius)
 

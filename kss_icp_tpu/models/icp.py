@@ -172,7 +172,7 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("axis_name", "precision", "variant", "nn_backend"))
+@partial(jax.jit, static_argnames=("axis_name", "precision", "variant", "nn_backend", "trim_fraction"))
 def icp(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -186,6 +186,7 @@ def icp(
     variant: str = "point_to_point",
     target_normals: jnp.ndarray | None = None,
     nn_backend: str = "xla",
+    trim_fraction: float = 0.0,
 ) -> ICPResult:
     """Run ICP from identity (or a warm-start transform); returns the rigid
     transform source -> target.
@@ -203,6 +204,14 @@ def icp(
     exact-f32 VPU kernel (ops/nn_pallas.nearest_neighbor_vpu) — on TPU this
     avoids materializing the per-iteration (P, T) distance tensor in HBM
     and is exact regardless of `precision`.
+
+    trim_fraction > 0 enables TRIMMED ICP (overlap mode, no reference
+    analogue): each iteration keeps only correspondences within the
+    q-quantile of valid NN distances (on top of the absolute
+    max_correspondence_distance gate), so non-overlap source points never
+    vote in the Kabsch update; the returned fitness is then the trimmed
+    mean squared NN distance over the same quantile (the metric a partial
+    pair can actually drive to zero).
     """
     dtype = source.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
@@ -230,6 +239,12 @@ def icp(
         cur = source @ st.rotation.T + st.translation
         d2, idx = nn(cur, target, target_mask, precision=prec)
         keep = source_mask & (d2 <= max_d2)
+        if trim_fraction:
+            from kss_icp_tpu.ops.nn import masked_quantile_threshold
+
+            keep = keep & (
+                d2 <= masked_quantile_threshold(d2, source_mask, trim_fraction)
+            )
         w = keep.astype(dtype)
         corr = target[idx]
         # Delta transform: current positions -> matched targets.
@@ -296,8 +311,13 @@ def icp(
 
     aligned = source @ final.rotation.T + final.translation
     d2, _ = nn(aligned, target, target_mask)
-    w = source_mask.astype(dtype)
-    fitness = allsum(jnp.sum(d2 * w)) / jnp.maximum(allsum(jnp.sum(w)), 1.0)
+    if trim_fraction:
+        from kss_icp_tpu.ops.nn import trimmed_masked_mean
+
+        fitness = trimmed_masked_mean(d2, source_mask, trim_fraction)
+    else:
+        w = source_mask.astype(dtype)
+        fitness = allsum(jnp.sum(d2 * w)) / jnp.maximum(allsum(jnp.sum(w)), 1.0)
     return ICPResult(
         rotation=final.rotation,
         translation=final.translation,

@@ -110,6 +110,44 @@ def masked_mean_nn_distance(
     return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 
 
+def trimmed_masked_mean(
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    trim_fraction: float,
+) -> jnp.ndarray:
+    """Mean of the smallest ceil(q * n_valid) valid values along the last
+    axis (invalid entries never participate). The robust-statistics core of
+    the overlap mode: on partially-overlapping clouds the largest NN
+    distances come from the non-overlap region and carry no alignment
+    signal — trimming them makes the score measure only the overlap."""
+    dtype = values.dtype
+    vm = jnp.where(mask, values, _BIG)
+    vs = jnp.sort(vm, axis=-1)                       # ascending, invalid last
+    nvalid = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    k = jnp.clip((trim_fraction * nvalid.astype(dtype)).astype(jnp.int32),
+                 1, jnp.maximum(nvalid, 1))
+    csum = jnp.cumsum(vs, axis=-1)
+    picked = jnp.take_along_axis(csum, (k - 1)[..., None], axis=-1)[..., 0]
+    return picked / k.astype(dtype)
+
+
+def masked_quantile_threshold(
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    q: float,
+) -> jnp.ndarray:
+    """The q-quantile of the VALID values along the last axis (the value at
+    rank ceil(q * n_valid) of the ascending sort) — the per-iteration
+    correspondence gate of the trimmed ICP and the inlier-mask cut of the
+    overlap iterations."""
+    vm = jnp.where(mask, values, _BIG)
+    vs = jnp.sort(vm, axis=-1)
+    nvalid = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    k = jnp.clip((q * nvalid.astype(values.dtype)).astype(jnp.int32),
+                 1, jnp.maximum(nvalid, 1))
+    return jnp.take_along_axis(vs, (k - 1)[..., None], axis=-1)[..., 0]
+
+
 def masked_nn_error(
     query: jnp.ndarray,
     query_mask: jnp.ndarray,
@@ -117,13 +155,19 @@ def masked_nn_error(
     ref_mask: jnp.ndarray,
     metric: str = "ave",
     precision=jax.lax.Precision.HIGHEST,
+    trim_fraction: float = 0.7,
 ) -> jnp.ndarray:
     """Rotation-grid alignment error in the reference's three flavors
-    (initRegistrationKSS.hpp):
+    (initRegistrationKSS.hpp) plus the overlap-robust fourth:
       - "ave":  mean 1-NN distance        (initRegistration_Error_Ave :430-450)
       - "max":  max 1-NN SQUARED distance (initRegistration_Error :406-428 —
                 the reference never takes the sqrt there, reproduced)
       - "diff": max 1-NN distance − mean  (initRegistration_Error_Diff :452-479)
+      - "trim": mean of the best trim_fraction-quantile of 1-NN distances —
+                no reference analogue; scores only the overlap region so
+                partially-overlapping scans rank the TRUE basin first (the
+                reference's identically-normalized pipeline shares the
+                partial-scan failure this fixes; see challenge.partial_corpus)
     """
     if metric == "ave":
         return masked_mean_nn_distance(
@@ -139,6 +183,10 @@ def masked_nn_error(
         w = query_mask.astype(d.dtype)
         mean = jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
         return jnp.max(jnp.where(query_mask, d, -_BIG), axis=-1) - mean
+    if metric == "trim":
+        d = jnp.sqrt(min_d2)
+        qm = jnp.broadcast_to(query_mask, d.shape)
+        return trimmed_masked_mean(d, qm, trim_fraction)
     raise ValueError(f"unknown error metric {metric!r}")
 
 

@@ -78,3 +78,33 @@ def test_register_pre_downsample_no_x64(cloud_file, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "pre-downsampled" in r.stdout
     assert out.exists()
+
+
+def test_bench_dir_no_x64(tmp_path):
+    """Real-dataset ingestion entry (VERDICT r3 item 8): discovery +
+    batched protocol + manifest pose scoring over a directory."""
+    import json
+
+    from kss_icp_tpu.transfer import TransferRecord, apply_record, save_transfer_log
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "ds"
+    d.mkdir()
+    recs = []
+    for i, ang in enumerate((0.7, 2.1)):
+        tgt = random_cloud(rng, 900)
+        rec = TransferRecord(name=f"m{i}", axis="z", angle=ang)
+        save_xyz(d / f"m{i}.wlop", tgt)
+        save_xyz(d / f"m{i}.gird", apply_record(tgt[::2], rec))
+        recs.append(rec)
+    save_transfer_log(d / "transfer.txt", recs)
+    (d / "orphan.gird").write_text("1\n0 0 0\n")  # no target -> ignored
+
+    out = tmp_path / "bd.json"
+    r = _run(["bench-dir", str(d), "--accurate", "4", "--iterations", "60",
+              "--max-candidates", "4", "--json", str(out)], timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(out.read_text())
+    assert res["pairs"] == 2 and res["pose_scored"] == 2
+    assert res["pose_success_rate"] == 1.0, res
+    assert res["median_rmse"] < 0.05, res
