@@ -114,13 +114,17 @@ def _box_assembly(rng: np.random.Generator, n: int) -> np.ndarray:
     areas = np.array([8 * (s[0] * s[1] + s[1] * s[2] + s[0] * s[2])
                       for _, s in boxes])
     counts = rng.multinomial(n, areas / areas.sum())
+    # Point draws are sized by multinomial counts (data-dependent), so they
+    # MUST come from the per-sample stream explicitly — the size heuristic
+    # would route a sparse box's draw to the shared stream (ADVICE r3).
+    point_rng = rng.sample if isinstance(rng, _SplitRNG) else rng
     parts = []
     for (c, s), m in zip(boxes, counts):
         # Pick a face ∝ its area, then uniform on it.
         fa = np.array([s[1] * s[2], s[1] * s[2], s[0] * s[2],
                        s[0] * s[2], s[0] * s[1], s[0] * s[1]])
-        face = rng.choice(6, size=m, p=fa / fa.sum())
-        u = rng.uniform(-1, 1, (m, 3)) * s
+        face = point_rng.choice(6, size=m, p=fa / fa.sum())
+        u = point_rng.uniform(-1, 1, (m, 3)) * s
         axis = face // 2
         u[np.arange(m), axis] = np.where(face % 2 == 0, s[axis], -s[axis])
         parts.append(c + u)
@@ -199,11 +203,22 @@ class _SplitRNG:
     """RNG facade: parameter draws (uniform/normal scalars & small vectors)
     come from the SHARED per-instance stream; bulk point draws (size >= 64)
     from the per-sample stream — so two samplings of one instance agree on
-    shape parameters but not on surface points."""
+    shape parameters but not on surface points.
+
+    Generators must route POINT draws whose size is data-dependent (e.g.
+    sized by a multinomial count) through `.sample` explicitly: the size
+    heuristic would send a sparsely-populated batch to the shared stream,
+    making shared-stream consumption sample-dependent and letting two
+    'independent' samplings emit identical points (ADVICE r3)."""
 
     def __init__(self, shared: np.random.Generator, per_sample: np.random.Generator):
         self._shared = shared
         self._per_sample = per_sample
+
+    @property
+    def sample(self) -> np.random.Generator:
+        """The per-sample stream — use for ALL surface-point draws."""
+        return self._per_sample
 
     def _pick(self, size) -> np.random.Generator:
         n = int(np.prod(size)) if size is not None else 1

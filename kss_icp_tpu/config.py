@@ -190,6 +190,11 @@ class KSSICPConfig:
     # overlap_trim_fraction (exposed so each can be tuned/ablated).
     icp_trim_fraction: float = 0.0
     coarse_trim_fraction: float = 0.7
+    # Umeyama similarity ICP (estimate scale per Kabsch step). OFF in the
+    # standard pipeline — the reference contract is rigid PCL ICP with the
+    # pre-shape carrying scale — but ON in overlap mode, where the
+    # crop-biased pre-shape scale is otherwise uncorrectable by rigid ICP.
+    icp_estimate_scale: bool = False
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
@@ -235,6 +240,30 @@ class KSSICPConfig:
 
     def padded_size(self, n: int, multiple: int = 256) -> int:
         return _round_up(max(n, multiple), multiple)
+
+    def overlap_config(self) -> "KSSICPConfig":
+        """The overlap-robust solve config (register_overlap_resampled):
+        trimmed coarse field + trimmed ICP at overlap_trim_fraction, every
+        ranking-only shortcut disabled (robustness tier, same reasoning as
+        escalation_config). The rotation grid stays at this config's
+        resolution — callers wanting the fine grid compose
+        escalation_config().overlap_config()."""
+        return dataclasses.replace(
+            self,
+            overlap_mode=True,
+            coarse_error_metric="trim",
+            coarse_trim_fraction=self.overlap_trim_fraction,
+            icp_trim_fraction=self.overlap_trim_fraction,
+            icp_estimate_scale=True,
+            coarse_points=0,
+            coarse_target_points=0,
+            screen_target_points=0,
+            refine_tier_iterations=0,
+            refine_tier_target_points=0,
+            refine_max_iterations=0,
+            refine_polish_iterations=0,
+            auto_escalate=False,
+        )
 
     def escalation_config(self) -> "KSSICPConfig":
         """The finer-grid config used for the fitness-flagged second pass

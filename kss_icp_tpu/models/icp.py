@@ -54,6 +54,8 @@ class ICPResult(NamedTuple):
     fitness: jnp.ndarray      # mean squared NN distance over valid points
     iterations: jnp.ndarray   # int32
     converged: jnp.ndarray    # bool
+    scale: jnp.ndarray = None  # (,) accumulated Umeyama scale (1.0 unless
+    # estimate_scale — the overlap-mode similarity ICP)
 
 
 def kabsch(
@@ -61,6 +63,7 @@ def kabsch(
     target: jnp.ndarray,
     weights: jnp.ndarray,
     axis_name: str | None = None,
+    estimate_scale: bool = False,
 ):
     """Weighted rigid Kabsch: argmin_R,t sum w_i ||R s_i + t - t_i||^2.
 
@@ -70,7 +73,12 @@ def kabsch(
     With `axis_name` set (inside shard_map over the point axis), all
     reductions psum across shards — the 3x3 cross-covariance is the
     Schur-style collective of SURVEY.md §5.8; the SVD itself is tiny and
-    runs replicated. Returns (R (3,3), t (3,)).
+    runs replicated. Returns (R (3,3), t (3,)), or (R, t, s) with
+    estimate_scale=True — the Umeyama similarity solution
+    argmin_{s,R,t} sum w ||s R x + t - y||^2 (s = trace(D S)/var_src).
+    The scale path is the overlap-mode extension: an asymmetric crop biases
+    the Kendall pre-shape scale (initRegistrationKSS.hpp:144-220 estimates
+    it from ALL points) and rigid ICP can never correct it.
     """
     dtype = source.dtype
 
@@ -91,12 +99,19 @@ def kabsch(
             "n,ni,nj->ij", weights, s0, t0, precision=jax.lax.Precision.HIGHEST
         )
     ) / wsum
-    u, _, vt = jnp.linalg.svd(h, full_matrices=True)
+    u, sv, vt = jnp.linalg.svd(h, full_matrices=True)
     det = jnp.linalg.det(vt.T @ u.T)
     d = jnp.array([1.0, 1.0, 0.0], dtype) + jnp.array([0.0, 0.0, 1.0], dtype) * det
     r = vt.T @ jnp.diag(d) @ u.T
-    t = ct - r @ cs
-    return r, t
+    if not estimate_scale:
+        return r, ct - r @ cs
+    var_s = allsum(
+        jnp.einsum("n,ni,ni->", weights, s0, s0,
+                   precision=jax.lax.Precision.HIGHEST)
+    ) / wsum
+    scale = jnp.sum(sv * d) / jnp.maximum(var_s, jnp.finfo(dtype).tiny)
+    t = ct - scale * (r @ cs)
+    return r, t, scale
 
 
 def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
@@ -157,6 +172,7 @@ def point_to_plane_step(
 class _ICPState(NamedTuple):
     rotation: jnp.ndarray
     translation: jnp.ndarray
+    scale: jnp.ndarray
     prev_rotation: jnp.ndarray
     prev_translation: jnp.ndarray
     corr_mse: jnp.ndarray
@@ -172,7 +188,7 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("axis_name", "precision", "variant", "nn_backend", "trim_fraction"))
+@partial(jax.jit, static_argnames=("axis_name", "precision", "variant", "nn_backend", "trim_fraction", "estimate_scale"))
 def icp(
     source: jnp.ndarray,
     source_mask: jnp.ndarray,
@@ -181,12 +197,14 @@ def icp(
     params: ICPParams,
     init_rotation: jnp.ndarray | None = None,
     init_translation: jnp.ndarray | None = None,
+    init_scale: jnp.ndarray | None = None,
     axis_name: str | None = None,
     precision: str = "highest",
     variant: str = "point_to_point",
     target_normals: jnp.ndarray | None = None,
     nn_backend: str = "xla",
     trim_fraction: float = 0.0,
+    estimate_scale: bool = False,
 ) -> ICPResult:
     """Run ICP from identity (or a warm-start transform); returns the rigid
     transform source -> target.
@@ -236,7 +254,7 @@ def icp(
     prec = _PRECISIONS[precision]
 
     def body(st: _ICPState) -> _ICPState:
-        cur = source @ st.rotation.T + st.translation
+        cur = st.scale * (source @ st.rotation.T) + st.translation
         d2, idx = nn(cur, target, target_mask, precision=prec)
         keep = source_mask & (d2 <= max_d2)
         if trim_fraction:
@@ -248,14 +266,19 @@ def icp(
         w = keep.astype(dtype)
         corr = target[idx]
         # Delta transform: current positions -> matched targets.
+        ds = jnp.asarray(1.0, dtype)
         if variant == "point_to_plane":
             dr, dt = point_to_plane_step(
                 cur, corr, target_normals[idx], w, axis_name
             )
+        elif estimate_scale:
+            dr, dt, ds = kabsch(cur, corr, w, axis_name, estimate_scale=True)
         else:
             dr, dt = kabsch(cur, corr, w, axis_name)
+        # new(x) = ds·dr·(s·R·x + t) + dt
         new_r = dr @ st.rotation
-        new_t = dr @ st.translation + dt
+        new_t = ds * (dr @ st.translation) + dt
+        new_s = ds * st.scale
 
         wsum = jnp.maximum(allsum(jnp.sum(w)), 1.0)
         # Convergence MSE from the MATCHED pairs, recomputed elementwise in
@@ -276,6 +299,11 @@ def icp(
             trans_delta2 < params.transformation_epsilon,
             (1.0 - cos_angle) < params.rotation_epsilon,
         )
+        if estimate_scale:
+            transform_small = jnp.logical_and(
+                transform_small,
+                (ds - 1.0) ** 2 < params.transformation_epsilon,
+            )
         mse_delta = jnp.abs(corr_mse - st.corr_mse)
         denom = jnp.maximum(corr_mse, jnp.finfo(dtype).tiny)
         mse_small = jnp.where(
@@ -287,6 +315,7 @@ def icp(
         return _ICPState(
             rotation=new_r,
             translation=new_t,
+            scale=new_s,
             prev_rotation=st.rotation,
             prev_translation=st.translation,
             corr_mse=corr_mse,
@@ -297,9 +326,11 @@ def icp(
 
     eye = jnp.eye(3, dtype=dtype) if init_rotation is None else init_rotation
     zero = jnp.zeros((3,), dtype) if init_translation is None else init_translation
+    one = jnp.asarray(1.0, dtype) if init_scale is None else init_scale
     init = _ICPState(
         rotation=eye,
         translation=zero,
+        scale=one,
         prev_rotation=eye,
         prev_translation=zero,
         corr_mse=big,
@@ -309,7 +340,7 @@ def icp(
     )
     final = jax.lax.while_loop(cond, body, init)
 
-    aligned = source @ final.rotation.T + final.translation
+    aligned = final.scale * (source @ final.rotation.T) + final.translation
     d2, _ = nn(aligned, target, target_mask)
     if trim_fraction:
         from kss_icp_tpu.ops.nn import trimmed_masked_mean
@@ -324,4 +355,5 @@ def icp(
         fitness=fitness,
         iterations=final.iteration,
         converged=final.converged,
+        scale=final.scale,
     )

@@ -109,6 +109,7 @@ def register_resampled(
         backend=cfg.coarse_backend,
         method=cfg.coarse_method,
         error_metric=cfg.coarse_error_metric,
+        trim_fraction=cfg.coarse_trim_fraction,
     )
 
     # 4. Batched multi-start ICP over all candidate angles at once.
@@ -159,7 +160,9 @@ def register_resampled(
         )
         screen_icp = partial(icp, precision=cfg.screen_precision,
                              variant=cfg.icp_variant, target_normals=st_normals,
-                             nn_backend=nn_backend)
+                             nn_backend=nn_backend,
+                             trim_fraction=cfg.icp_trim_fraction,
+                             estimate_scale=cfg.icp_estimate_scale)
         res1 = jax.vmap(screen_icp, in_axes=(0, None, None, None, None))(
             screen_src, screen_mask, screen_tgt, screen_tmask, screen_params
         )
@@ -170,7 +173,9 @@ def register_resampled(
         sel = jnp.argsort(fit1.at[0].set(-jnp.inf))[:n_refine]
         refine_icp = partial(icp, precision=cfg.icp_precision,
                              variant=cfg.icp_variant, target_normals=tgt_normals,
-                             nn_backend=refine_nn_backend)
+                             nn_backend=refine_nn_backend,
+                             trim_fraction=cfg.icp_trim_fraction,
+                             estimate_scale=cfg.icp_estimate_scale)
         # Final-converge iteration cap (cfg.refine_max_iterations): bounds
         # the slowest-lane while_loop tail of the batched solve; escalation
         # lifts it for flagged pairs.
@@ -200,10 +205,12 @@ def register_resampled(
                     cap_normals = tgt_normals[:rtp]
             cap_icp = partial(icp, precision=cfg.icp_precision,
                               variant=cfg.icp_variant, target_normals=cap_normals,
-                              nn_backend=refine_nn_backend)
-            res_a = jax.vmap(cap_icp, in_axes=(0, None, None, None, None, 0, 0))(
+                              nn_backend=refine_nn_backend,
+                              trim_fraction=cfg.icp_trim_fraction,
+                              estimate_scale=cfg.icp_estimate_scale)
+            res_a = jax.vmap(cap_icp, in_axes=(0, None, None, None, None, 0, 0, 0))(
                 rotated[sel], source_mask, cap_tgt, cap_tmask, cap,
-                res1.rotation[sel], res1.translation[sel],
+                res1.rotation[sel], res1.translation[sel], res1.scale[sel],
             )
             fit_a = jnp.where(coarse.candidate_mask[sel], res_a.fitness, _BIG)
             judge_a = fit_a[0]
@@ -216,7 +223,7 @@ def register_resampled(
                 probe = refine_icp(
                     rotated[sel][0], source_mask, target_points, target_mask,
                     params._replace(max_iterations=jnp.asarray(0, jnp.int32)),
-                    res_a.rotation[0], res_a.translation[0],
+                    res_a.rotation[0], res_a.translation[0], res_a.scale[0],
                 )
                 judge_a = jnp.where(coarse.candidate_mask[sel][0],
                                     probe.fitness, _BIG)
@@ -224,10 +231,12 @@ def register_resampled(
                                 0, jnp.argmin(fit_a))
             res = refine_icp(
                 rotated[sel][local_a], source_mask, target_points, target_mask,
-                refine_params, res_a.rotation[local_a], res_a.translation[local_a],
+                refine_params, res_a.rotation[local_a],
+                res_a.translation[local_a], res_a.scale[local_a],
             )
             choice = sel[local_a]
-            icp_sim = Similarity.from_rigid(res.rotation, res.translation)
+            icp_sim = Similarity(scale=res.scale, rotation=res.rotation,
+                                 translation=res.translation)
             cand_sim = Similarity.from_rigid(r_cand[choice], jnp.zeros((3,), dtype))
             total = compose(icp_sim, compose(cand_sim, sim0))
             return RegistrationResult(
@@ -245,9 +254,9 @@ def register_resampled(
                     jnp.logical_not(res.converged)),
                 coarse=coarse,
             )
-        res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0))(
+        res = jax.vmap(refine_icp, in_axes=(0, None, None, None, None, 0, 0, 0))(
             rotated[sel], source_mask, target_points, target_mask, refine_params,
-            res1.rotation[sel], res1.translation[sel],
+            res1.rotation[sel], res1.translation[sel], res1.scale[sel],
         )
         fit = jnp.where(coarse.candidate_mask[sel], res.fitness, _BIG)
         final_cap = refine_params.max_iterations
@@ -255,7 +264,9 @@ def register_resampled(
         sel = jnp.arange(coarse.candidate_angles.shape[0])
         full_icp = partial(icp, precision=cfg.icp_precision,
                            variant=cfg.icp_variant, target_normals=tgt_normals,
-                           nn_backend=nn_backend)
+                           nn_backend=nn_backend,
+                           trim_fraction=cfg.icp_trim_fraction,
+                           estimate_scale=cfg.icp_estimate_scale)
         full_params = params
         if cfg.refine_max_iterations:
             # The final-converge cap applies in full-multistart mode too —
@@ -276,7 +287,8 @@ def register_resampled(
     choice = sel[local]
 
     # 5. Compose: full transform = ICP ∘ R_candidate ∘ preshape.
-    icp_sim = Similarity.from_rigid(res.rotation[local], res.translation[local])
+    icp_sim = Similarity(scale=res.scale[local], rotation=res.rotation[local],
+                         translation=res.translation[local])
     cand_sim = Similarity.from_rigid(
         r_cand[choice], jnp.zeros((3,), dtype)
     )
@@ -294,6 +306,98 @@ def register_resampled(
             jnp.logical_not(res.converged[local])),
         coarse=coarse,
     )
+
+
+def trimmed_fitness(
+    transform: Similarity,
+    source_points: jnp.ndarray,
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    trim_fraction: float,
+    bidirectional: bool = True,
+) -> jnp.ndarray:
+    """Trimmed mean squared NN distance of the transformed source — the
+    overlap-mode goodness metric (mean over the best trim_fraction-quantile
+    of valid source points, so non-overlap points don't penalize a correct
+    partial alignment). Used for keep-better comparisons between overlap
+    and standard solves; both sides must be scored with THIS metric.
+
+    bidirectional adds the target->source direction: a SLID symmetric pose
+    can match every trimmed source point into the target's interior while
+    leaving target regions uncovered — the reverse direction exposes
+    exactly that (measured: the unidirectional metric adopted a slid pose
+    on part/se0, round-4 overlap experiment)."""
+    from kss_icp_tpu.ops.nn import nearest_neighbor, trimmed_masked_mean
+
+    aligned = apply_similarity(transform, source_points)
+    d2, _ = nearest_neighbor(aligned, target_points, target_mask)
+    fwd = trimmed_masked_mean(d2, source_mask, trim_fraction)
+    if not bidirectional:
+        return fwd
+    d2r, _ = nearest_neighbor(target_points, aligned, source_mask)
+    rev = trimmed_masked_mean(d2r, target_mask, trim_fraction)
+    return fwd + rev
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_overlap_resampled(
+    source_points: jnp.ndarray,
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+) -> RegistrationResult:
+    """Overlap-robust registration of two resampled padded clouds.
+
+    Closes the partial-scan capability gap (the reference showcases RGB-D
+    partial scans, README.md:9 / Examples/RGB3D.pdf, yet its Kendall
+    pre-shape normalization — initRegistrationKSS.hpp:144-220 — estimates
+    centroid and scale from ALL points, so asymmetric crops bias the coarse
+    field into the wrong basin). Three generalizations, all mask-native:
+
+      1. the coarse field scores each rotation by the TRIMMED mean NN
+         distance (best overlap_trim_fraction quantile) — the crop's
+         non-overlap points stop vetoing the true basin;
+      2. ICP gates correspondences at the same per-iteration quantile and
+         reports trimmed fitness;
+      3. the pre-shape is re-estimated on mutual-inlier masks: after a full
+         solve, source points far from the target (and target points far
+         from the aligned source) are masked out and the whole pipeline —
+         normalization included — re-runs on the overlap subset
+         (cfg.overlap_iterations unrolled solves, keep-better by trimmed
+         fitness on the ORIGINAL masks so the comparison is consistent).
+
+    The returned fitness is the trimmed fitness (compare only against other
+    trimmed fitnesses — see escalate.overlap_rerun)."""
+    from kss_icp_tpu.ops.nn import masked_quantile_threshold, nearest_neighbor
+
+    ocfg = cfg if cfg.overlap_mode else cfg.overlap_config()
+    q = ocfg.overlap_trim_fraction
+
+    res = register_resampled(
+        source_points, source_mask, target_points, target_mask, ocfg
+    )
+    best_fit = trimmed_fitness(res.transform, source_points, source_mask,
+                               target_points, target_mask, q)
+    for _ in range(max(ocfg.overlap_iterations - 1, 0)):
+        aligned = apply_similarity(res.transform, source_points)
+        d2s, _ = nearest_neighbor(aligned, target_points, target_mask)
+        sm_in = source_mask & (
+            d2s <= masked_quantile_threshold(d2s, source_mask, q))
+        d2t, _ = nearest_neighbor(target_points, aligned, source_mask)
+        tm_in = target_mask & (
+            d2t <= masked_quantile_threshold(d2t, target_mask, q))
+        res2 = register_resampled(
+            source_points, sm_in, target_points, tm_in, ocfg
+        )
+        fit2 = trimmed_fitness(res2.transform, source_points, source_mask,
+                               target_points, target_mask, q)
+        better = fit2 < best_fit
+        res = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), res2, res)
+        best_fit = jnp.minimum(fit2, best_fit)
+    return res._replace(fitness=best_fit)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -331,9 +435,11 @@ def polish_resampled(
         tgt_normals = estimate_normals(target_points, target_mask)
     res = icp(current, source_mask, target_points, target_mask, params,
               precision=cfg.icp_precision, variant=cfg.icp_variant,
-              target_normals=tgt_normals, nn_backend=nn_backend)
-    total = compose(Similarity.from_rigid(res.rotation, res.translation),
-                    transform)
+              target_normals=tgt_normals, nn_backend=nn_backend,
+              trim_fraction=cfg.icp_trim_fraction,
+              estimate_scale=cfg.icp_estimate_scale)
+    total = compose(Similarity(scale=res.scale, rotation=res.rotation,
+                               translation=res.translation), transform)
     return total, res.fitness, res.iterations
 
 

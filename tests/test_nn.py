@@ -151,3 +151,100 @@ def test_knn_auto_streams_large_cloud():
     normals = estimate_normals(jnp.asarray(pts), jnp.asarray(mask))
     lens = np.linalg.norm(np.asarray(normals), axis=1)
     np.testing.assert_allclose(lens, 1.0, atol=1e-3)
+
+
+class TestTrimmedOps:
+    """Overlap-mode robust statistics (ops/nn.py, round 4)."""
+
+    def test_trimmed_masked_mean_basic(self):
+        import jax.numpy as jnp
+
+        from kss_icp_tpu.ops.nn import trimmed_masked_mean
+
+        v = jnp.asarray([5.0, 1.0, 3.0, 2.0, 100.0, 4.0])
+        m = jnp.asarray([True] * 6)
+        # q=0.5 -> k=3 smallest of 6 = mean(1,2,3)
+        assert float(trimmed_masked_mean(v, m, 0.5)) == 2.0
+        # q=1.0 -> all
+        np.testing.assert_allclose(
+            float(trimmed_masked_mean(v, m, 1.0)), np.mean([1, 2, 3, 4, 5, 100]))
+
+    def test_trimmed_masked_mean_ignores_invalid(self):
+        import jax.numpy as jnp
+
+        from kss_icp_tpu.ops.nn import trimmed_masked_mean
+
+        v = jnp.asarray([0.001, 9.0, 1.0, 3.0, 2.0])
+        m = jnp.asarray([False, True, True, True, True])  # 4 valid
+        # k = floor(0.5*4)=2 -> mean(1,2); the masked 0.001 must not leak in
+        assert float(trimmed_masked_mean(v, m, 0.5)) == 1.5
+
+    def test_masked_quantile_threshold(self):
+        import jax.numpy as jnp
+
+        from kss_icp_tpu.ops.nn import masked_quantile_threshold
+
+        v = jnp.asarray([4.0, 1.0, 3.0, 2.0])
+        m = jnp.ones(4, bool)
+        assert float(masked_quantile_threshold(v, m, 0.5)) == 2.0
+        assert float(masked_quantile_threshold(v, m, 1.0)) == 4.0
+        # batched + masked
+        vb = jnp.stack([v, jnp.asarray([10.0, 20.0, 30.0, 1e30])])
+        mb = jnp.asarray([[True] * 4, [True, True, True, False]])
+        out = masked_quantile_threshold(vb, mb, 0.67)
+        np.testing.assert_allclose(np.asarray(out), [2.0, 20.0])
+
+    def test_trim_metric_prefers_overlap_alignment(self, rng):
+        """The 'trim' field metric scores a correct partial alignment below
+        a slid one even when 'ave' ties or inverts (the overlap-mode
+        design premise)."""
+        import jax.numpy as jnp
+
+        from kss_icp_tpu.ops.nn import masked_nn_error
+
+        # target: segment [0, 10]; source: crop [0, 7] of the same curve
+        t = np.linspace(0, 10, 400)
+        tgt = np.stack([t, np.sin(t), np.zeros_like(t)], -1)
+        s = np.linspace(0, 7, 280)
+        src = np.stack([s, np.sin(s), np.zeros_like(s)], -1).astype(np.float32)
+        tm = jnp.ones(400, bool)
+        sm = jnp.ones(280, bool)
+        correct = jnp.asarray(src)
+        slid = jnp.asarray(src + np.array([1.5, 0, 0], np.float32))
+        e_corr = float(masked_nn_error(correct, sm, jnp.asarray(tgt, jnp.float32),
+                                       tm, metric="trim", trim_fraction=0.7))
+        e_slid = float(masked_nn_error(slid, sm, jnp.asarray(tgt, jnp.float32),
+                                       tm, metric="trim", trim_fraction=0.7))
+        assert e_corr < e_slid
+
+    def test_trimmed_icp_recovers_partial_transform(self, rng):
+        """Trimmed ICP converges on a 70%-overlap pair where the crop's
+        far points would otherwise drag the Kabsch update."""
+        import jax.numpy as jnp
+
+        from kss_icp_tpu.models.icp import ICPParams, icp
+        from kss_icp_tpu.config import KSSICPConfig
+
+        t = rng.uniform(-1, 1, (600, 2))
+        surf = np.concatenate(
+            [t, (0.3 * np.sin(2 * t[:, :1]) * np.cos(3 * t[:, 1:2]))], -1
+        ).astype(np.float32)
+        # source = points with x <= 0.4 (keep ~70%), small rigid offset
+        src = surf[surf[:, 0] <= 0.4]
+        ang = 0.12
+        c, s = np.cos(ang), np.sin(ang)
+        r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        src_moved = (src @ r.T + np.array([0.05, -0.03, 0.02], np.float32))
+        p = 512
+        sp = np.zeros((p, 3), np.float32)
+        sp[: len(src_moved)] = src_moved
+        smk = np.zeros(p, bool)
+        smk[: len(src_moved)] = True
+        params = ICPParams.from_config(KSSICPConfig(), jnp.float32)
+        res = icp(jnp.asarray(sp), jnp.asarray(smk),
+                  jnp.asarray(surf), jnp.ones(len(surf), bool), params,
+                  trim_fraction=0.8)
+        # recovered rotation ~ r^T
+        err = np.abs(np.asarray(res.rotation) @ r - np.eye(3)).max()
+        assert err < 0.02, err
+        assert float(res.fitness) < 1e-4
