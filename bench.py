@@ -78,10 +78,11 @@ def bench_config():
 
 
 def make_programs():
-    """(pipeline, measure_all, polish) jitted programs — the bench's full
-    per-pair pipeline (resample + register), the full-res RMSE measure, and
-    the two-stage-converge polish pass. Module-level so
-    scripts/prime_cache.py AOT-compiles bit-identical programs."""
+    """(pipeline, measure_all, polish, overlap) jitted programs — the
+    bench's full per-pair pipeline (resample + register), the full-res RMSE
+    measure, the two-stage-converge polish pass, and the overlap-tier
+    resolve. Module-level so scripts/prime_cache.py AOT-compiles
+    bit-identical programs."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -89,6 +90,7 @@ def make_programs():
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
     from kss_icp_tpu.models.kss_icp import (
+        overlap_solve_batch,
         polish_resampled,
         register_resampled,
         resample_pairs,
@@ -132,7 +134,19 @@ def make_programs():
         )(rs, rsm, rt, rtm, jax.tree.map(lambda x: x[sel], tr))
         return tot, fit2
 
-    return pipeline, measure_all, polish
+    @partial(jax.jit, static_argnames=("cfg",))
+    def overlap(sel, sp, sm_, tp, tm_, pn, tr, cfg):
+        # Overlap-tier resolve (escalate.overlap_rerun contract): gather the
+        # flagged full-res rows, re-resample in-jit (same pattern as the
+        # polish program — FPS is deterministic), run the batched
+        # overlap-robust solve and score the incumbent transform with the
+        # same bidirectional trimmed metric. cfg must be the overlap config.
+        (rs, rsm), (rt, rtm) = resample_pairs(
+            sp[sel], sm_[sel], tp[sel], tm_[sel], pn[sel], cfg)
+        return overlap_solve_batch(
+            rs, rsm, rt, rtm, jax.tree.map(lambda x: x[sel], tr), cfg)
+
+    return pipeline, measure_all, polish, overlap
 
 
 def load_pairs():
@@ -162,7 +176,7 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from kss_icp_tpu.escalate import escalate_rerun
+    from kss_icp_tpu.escalate import escalate_rerun, overlap_rerun
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -190,7 +204,7 @@ def main() -> int:
              for m1, m2 in zip(sm, tm)], np.int32)
         return sp, sm, tp, tm, pn
 
-    pipeline, measure_all, polish = make_programs()
+    pipeline, measure_all, polish, overlap_prog = make_programs()
     args = tuple(map(jnp.asarray, batch_arrays(pairs)))
 
     from kss_icp_tpu.escalate import polish_rerun
@@ -296,6 +310,25 @@ def main() -> int:
             resolve, fit_all, cfg.escalate_threshold, pad_multiple=b,
             result=tr_all, chunk=b, cap=((nsat + b - 1) // b) * b,
             flags=(fit_all > cfg.escalate_threshold) | hit_all)
+        # Overlap tier (VERDICT r3 item 1): pairs still fitness-flagged
+        # after the fine grid get one overlap-robust solve, adopted by the
+        # bidirectional trimmed-fitness margin. Chunked at escalate_pad (8)
+        # so the heavy 16^3 x3-iteration program compiles one small shape.
+        ocfg = ecfg.overlap_config()
+
+        def oresolve(sel, _a=(sp, sm_, tp, tm_, pn)):
+            tr_sel = jax.tree.map(jnp.asarray, tr_all)
+            return overlap_prog(jnp.asarray(sel),
+                                *map(jnp.asarray, _a), tr_sel, ocfg)
+
+        if cfg.overlap_escalate:
+            tr_all, fit_all, owins, o_flagged = overlap_rerun(
+                oresolve, fit_all, cfg.escalate_threshold, cfg.escalate_pad,
+                cfg.overlap_adopt_margin, result=tr_all,
+                chunk=cfg.escalate_pad)
+            if o_flagged:
+                log(f"overlap tier: {o_flagged} flagged, "
+                    f"{len(owins)} adopted")
         esc_dt = time.perf_counter() - t0
         rm_all = measure_chunked(tr_all, sp, sm_, tp, tm_)
         log(f"saturated batch: {nsat} pairs, escalated={n_flagged} "
@@ -385,6 +418,24 @@ def main() -> int:
                 cresolve, fit_ch, cfg.escalate_threshold, pad_multiple=b,
                 result=tr_ch, chunk=b, cap=((n + b - 1) // b) * b,
                 flags=(fit_ch > cfg.escalate_threshold) | hit_ch)
+
+            if cfg.overlap_escalate:
+                # Overlap tier — the pass that carries the partial
+                # (RGB-D-analogue) scenario (VERDICT r3 item 1).
+                ocfg_ch = ecfg.overlap_config()
+
+                def coresolve(sel, _a=(csp, csm, ctp, ctm, cpn)):
+                    tr_sel = jax.tree.map(jnp.asarray, tr_ch)
+                    return overlap_prog(jnp.asarray(sel),
+                                        *map(jnp.asarray, _a), tr_sel, ocfg_ch)
+
+                tr_ch, fit_ch, owins_ch, o_fl = overlap_rerun(
+                    coresolve, fit_ch, cfg.escalate_threshold,
+                    cfg.escalate_pad, cfg.overlap_adopt_margin,
+                    result=tr_ch, chunk=cfg.escalate_pad)
+                if o_fl:
+                    log(f"challenge/{scenario} overlap tier: {o_fl} flagged, "
+                        f"{len(owins_ch)} adopted")
             errs = np.asarray([
                 transform_rmse(
                     np.asarray(apply_similarity(

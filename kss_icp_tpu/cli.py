@@ -44,7 +44,13 @@ def _cfg_from_args(args):
     # `escalate=None` defers to it).
     if getattr(args, "escalate", None) is not None:
         kw["auto_escalate"] = args.escalate
-    return KSSICPConfig(**kw)
+    cfg = KSSICPConfig(**kw)
+    if getattr(args, "overlap", False):
+        # Explicit overlap-robust mode for partially-overlapping scans
+        # (trimmed field + trimmed similarity ICP + iterated inlier
+        # pre-shape; see KSSICPConfig.overlap_mode).
+        cfg = cfg.overlap_config()
+    return cfg
 
 
 def _logger_from_args(args):
@@ -534,6 +540,10 @@ def main(argv=None) -> int:
                             "--no-escalate disables)")
         p.add_argument("--iterations", type=int, default=1000,
                        help="max ICP iterations (reference: 1000)")
+        p.add_argument("--overlap", action="store_true",
+                       help="overlap-robust mode for partially-overlapping "
+                            "scans (trimmed coarse field + trimmed "
+                            "similarity ICP + iterated inlier pre-shape)")
         p.add_argument("--max-candidates", type=int, default=32)
         p.add_argument("--platform", default=None,
                        help="JAX backend override (cpu, tpu, ...)")

@@ -184,8 +184,10 @@ class KSSICPConfig:
     # perturbing full-overlap solves.
     overlap_trim_fraction: float = 0.7
     # Full re-solves in register_overlap_resampled: solve -> inlier masks ->
-    # re-normalized solve, unrolled. 2 = one mask re-estimate.
-    overlap_iterations: int = 2
+    # re-normalized solve, unrolled. 3 (two mask re-estimates) cleared the
+    # 60%-overlap tier the 2-iteration variant could not (overlap_experiment
+    # r4: se0 pose 1.24 -> 0.025 at 16^3 x3).
+    overlap_iterations: int = 3
     # Per-stage trim knobs the overlap config derives from
     # overlap_trim_fraction (exposed so each can be tuned/ablated).
     icp_trim_fraction: float = 0.0
@@ -195,6 +197,17 @@ class KSSICPConfig:
     # pre-shape carrying scale — but ON in overlap mode, where the
     # crop-biased pre-shape scale is otherwise uncorrectable by rigid ICP.
     icp_estimate_scale: bool = False
+    # Auto overlap tier: pairs whose fitness is still above
+    # escalate_threshold AFTER the fine-grid escalation get one
+    # register_overlap_resampled solve (at the escalation grid), adopted
+    # only when its bidirectional trimmed fitness beats the incumbent's by
+    # the adopt margin — measured separation (scripts/overlap_experiment):
+    # genuine partial-overlap wins land at ratio 0.25-0.66, spurious
+    # symmetric slides at 0.73-1.1. Full-overlap corpora never reach the
+    # tier (their escalated fitness clears the threshold), so golden/stress
+    # throughput and accuracy are untouched.
+    overlap_escalate: bool = True
+    overlap_adopt_margin: float = 0.7
 
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
@@ -263,6 +276,12 @@ class KSSICPConfig:
             refine_max_iterations=0,
             refine_polish_iterations=0,
             auto_escalate=False,
+            # The trim field rides the XLA einsum path (the Pallas kernel
+            # implements "ave" only): each lax.map step materializes a
+            # (chunk, P, T) distance block, and batched overlap lanes
+            # multiply it — a smaller chunk bounds peak memory at a few
+            # hundred MB per 8-lane launch.
+            rotation_chunk=min(self.rotation_chunk, 16),
         )
 
     def escalation_config(self) -> "KSSICPConfig":

@@ -110,6 +110,73 @@ def escalate_rerun(
     return result, fitness, wins, int(flagged.size)
 
 
+def overlap_rerun(
+    resolve: Callable[[np.ndarray], Tuple[object, np.ndarray, np.ndarray, np.ndarray]],
+    fitness: np.ndarray,
+    threshold: Optional[float],
+    pad_multiple: int,
+    margin: float,
+    result=None,
+    cap: Optional[int] = None,
+    chunk: Optional[int] = None,
+    flags: Optional[np.ndarray] = None,
+):
+    """The overlap tier of the escalation ladder (VERDICT r3 item 1).
+
+    Rows whose fitness is still above `threshold` after the fine-grid
+    escalation are re-solved by the overlap-robust pipeline. Unlike
+    escalate_rerun, adoption is NOT by plain fitness (a correct partial
+    alignment has worse UNTRIMMED fitness than a wrong crop-biased one by
+    construction): `resolve(sel)` must return
+    `(result_tree, fit_std, tfit_new, tfit_old)` where tfit_new/tfit_old
+    are the BIDIRECTIONAL TRIMMED fitnesses of the overlap solve and the
+    incumbent transform (computed in the same jitted program), and fit_std
+    the overlap solve's standard fitness for bookkeeping. A row is adopted
+    iff tfit_new < margin * tfit_old (margin = cfg.overlap_adopt_margin;
+    the measured separation between genuine wins and symmetric slides).
+
+    Returns (result, fitness, wins, n_flagged) like escalate_rerun."""
+    import jax
+
+    fitness = np.asarray(fitness).copy()
+    b = fitness.shape[0]
+    if flags is not None:
+        flagged = np.nonzero(np.asarray(flags))[0]
+    else:
+        flagged = np.nonzero(fitness > threshold)[0]
+    if flagged.size == 0:
+        return result, fitness, [], 0
+    sel = padded_selection(flagged, pad_multiple, cap if cap is not None else b)
+    if result is not None:
+        result = jax.tree.map(lambda x: np.asarray(x).copy(), result)
+    step = chunk if chunk else sel.size
+    wins = []
+    adopted = set()
+    for c0 in range(0, sel.size, step):
+        csel = sel[c0 : c0 + step]
+        res2, fit_std, tf_new, tf_old = resolve(csel)
+        fit_std = np.asarray(fit_std)
+        tf_new = np.asarray(tf_new)
+        tf_old = np.asarray(tf_old)
+        res2_np = None
+        for j, gi in enumerate(csel):
+            if gi in adopted or not (tf_new[j] < margin * tf_old[j]):
+                continue
+            adopted.add(int(gi))
+            fitness[gi] = fit_std[j]
+            wins.append((int(gi), res2, j))
+            if result is not None:
+                if res2_np is None:
+                    res2_np = jax.tree.map(np.asarray, res2)
+
+                def _set(full, new, _gi=gi, _j=j):
+                    full[_gi] = new[_j]
+                    return full
+
+                jax.tree.map(_set, result, res2_np)
+    return result, fitness, wins, int(flagged.size)
+
+
 def polish_rerun(
     resolve: Callable[[np.ndarray], Tuple[object, np.ndarray]],
     hit_cap: np.ndarray,

@@ -401,6 +401,36 @@ def register_overlap_resampled(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def overlap_solve_batch(
+    source_points: jnp.ndarray,   # (B, P, 3) resampled
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    baseline: Similarity,         # (B,) incumbent transforms to compare against
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+):
+    """Batched overlap tier resolve (escalate.overlap_rerun contract):
+    vmapped register_overlap_resampled over B flagged pairs, returning
+    (transform_tree, fit_std, tfit_new, tfit_old) where the trimmed
+    fitnesses of the new solve and the incumbent are computed in the same
+    program so the host only compares scalars. cfg must already be an
+    overlap config (…escalation_config().overlap_config())."""
+    from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
+
+    q = cfg.overlap_trim_fraction
+
+    def one(spi, smi, tpi, tmi, tr0):
+        r = register_overlap_resampled(spi, smi, tpi, tmi, cfg)
+        tf_old = trimmed_fitness(tr0, spi, smi, tpi, tmi, q)
+        aligned = apply_similarity(r.transform, spi)
+        fit_std = masked_mean_nn_sqdist(aligned, smi, tpi, tmi)
+        return r.transform, fit_std, r.fitness, tf_old
+
+    return jax.vmap(one)(source_points, source_mask, target_points,
+                         target_mask, baseline)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def polish_resampled(
     source_points: jnp.ndarray,   # (P, 3) resampled source (pipeline frame)
     source_mask: jnp.ndarray,
@@ -592,6 +622,11 @@ def register_pair(
     tgt_pts, tgt_mask = resample_batch(
         target.points[None], target.mask[None], pn, cfg
     )
+    if cfg.overlap_mode:
+        # Explicit overlap mode (CLI --overlap): the caller knows the scans
+        # overlap partially — run the overlap-robust solver directly.
+        return register_overlap_resampled(
+            src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0], cfg)
     res = register_resampled(src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0], cfg)
     if (cfg.refine_polish_iterations and cfg.refine_max_iterations
             and bool(res.refine_hit_cap)):
@@ -624,5 +659,26 @@ def register_pair(
             flags=np.asarray([flag]),
         )
         if wins:
-            return wins[-1][1]
+            res = wins[-1][1]
+        if (cfg.overlap_escalate
+                and float(res.fitness) > cfg.escalate_threshold):
+            # Overlap tier (VERDICT r3 item 1): fitness still poor after the
+            # fine grid — the signature of a partially-overlapping pair whose
+            # crop-biased pre-shape no rotation search can fix. Adoption is
+            # by the bidirectional trimmed-fitness margin, never plain
+            # fitness (a correct partial alignment has WORSE untrimmed
+            # fitness than a wrong crop-biased one by construction).
+            from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
+
+            ocfg = cfg.escalation_config().overlap_config()
+            a = (src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0])
+            res_o = register_overlap_resampled(*a, ocfg)
+            q = ocfg.overlap_trim_fraction
+            tf_old = float(trimmed_fitness(res.transform, *a, q))
+            tf_new = float(res_o.fitness)
+            if tf_new < cfg.overlap_adopt_margin * tf_old:
+                aligned = apply_similarity(res_o.transform, a[0])
+                fit_std = masked_mean_nn_sqdist(
+                    aligned[None], a[1][None], a[2][None], a[3][None])[0]
+                res = res_o._replace(fitness=fit_std)
     return res

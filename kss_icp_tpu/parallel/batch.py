@@ -187,6 +187,34 @@ def register_many(
             fitness=jnp.asarray(fit),
         )
 
+        if cfg.overlap_escalate:
+            # Overlap tier (VERDICT r3 item 1): pairs still fitness-flagged
+            # after the fine grid get one overlap-robust re-solve, adopted
+            # by the bidirectional trimmed-fitness margin (escalate.
+            # overlap_rerun). Full-overlap corpora never reach this tier.
+            from kss_icp_tpu.escalate import overlap_rerun
+            from kss_icp_tpu.models.kss_icp import (
+                overlap_solve_batch,
+            )
+
+            ocfg = ecfg.overlap_config()
+
+            def oresolve(sel):
+                sel_j = jnp.asarray(sel)
+                tr_sel = jax.tree.map(
+                    lambda x: jnp.asarray(x)[sel_j], res.transform)
+                return overlap_solve_batch(
+                    sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j], tr_sel, ocfg)
+
+            tr_np, fit, _, _ = overlap_rerun(
+                oresolve, res.fitness, escalate_threshold, ecfg.escalate_pad,
+                cfg.overlap_adopt_margin, result=res.transform,
+            )
+            res = res._replace(
+                transform=jax.tree.map(jnp.asarray, tr_np),
+                fitness=jnp.asarray(fit),
+            )
+
     aligned = jax.jit(jax.vmap(apply_similarity))(res.transform, s_pts)
     metrics = jax.jit(jax.vmap(partial(registration_measure_padded, chunk=None)))(
         aligned, s_msk, t_pts, t_msk

@@ -48,7 +48,7 @@ def main() -> int:
         nsat = None
     cfg = bench.bench_config()
     ecfg = cfg.escalation_config()
-    pipeline, measure_all, polish = bench.make_programs()
+    pipeline, measure_all, polish, overlap = bench.make_programs()
 
     f32 = jax.ShapeDtypeStruct
     P = bench.FULL_PAD
@@ -101,6 +101,26 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 done.append((f"polish {k}-of-{n}", dt))
                 log(f"primed polish {k}-of-{n}: {dt:.1f}s")
+
+    # Overlap-tier program (one escalate_pad-sized chunk per batch shape):
+    # the 16^3 x overlap_iterations solve only fires for pairs still
+    # fitness-flagged after escalation, but when it does the compile is the
+    # heaviest in the bench — prime it.
+    if cfg.overlap_escalate:
+        ocfg = ecfg.overlap_config()
+        for n in [b] + ([nsat] if nsat and nsat != b else []):
+            tr_n = Similarity(
+                scale=f32((n,), np.float32),
+                rotation=f32((n, 3, 3), np.float32),
+                translation=f32((n, 3), np.float32),
+            )
+            k = cfg.escalate_pad
+            t0 = time.perf_counter()
+            overlap.lower(f32((k,), np.int32), *shapes(n), tr_n,
+                          ocfg).compile()
+            dt = time.perf_counter() - t0
+            done.append((f"overlap {k}-of-{n}", dt))
+            log(f"primed overlap {k}-of-{n}: {dt:.1f}s")
 
     if "--entry" in sys.argv:
         import __graft_entry__ as g

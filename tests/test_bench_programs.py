@@ -49,7 +49,7 @@ def _batch(b=3, n=512, seed=0):
 
 
 def test_pipeline_and_measure(programs):
-    pipeline, measure_all, _ = programs
+    pipeline, measure_all = programs[0], programs[1]
     cfg = _tiny_cfg(refine_max_iterations=40)
     a = _batch()
     tr, packed = pipeline(*a, cfg)
@@ -67,7 +67,7 @@ def test_polish_program(programs):
     import jax
     import jax.numpy as jnp
 
-    pipeline, measure_all, polish = programs
+    pipeline, measure_all, polish = programs[:3]
     # Force hit-cap lanes with a 1-iteration stage-1 cap.
     cfg = _tiny_cfg(refine_max_iterations=1, refine_polish_iterations=40)
     a = _batch()
@@ -95,3 +95,28 @@ def test_polish_program(programs):
     rm_before = np.asarray(measure_all(tr, *a[:4]))
     rm = np.asarray(measure_all(jax.tree.map(jnp.asarray, merged), *a[:4]))
     assert (rm <= rm_before + 1e-3).all(), (rm_before, rm)
+
+
+def test_overlap_program(programs):
+    """The overlap-tier resolve program (escalate.overlap_rerun contract):
+    gathers flagged rows, solves overlap-robustly, returns comparable
+    bidirectional trimmed fitnesses for new + incumbent transforms."""
+    import jax
+    import jax.numpy as jnp
+
+    pipeline, overlap = programs[0], programs[3]
+    cfg = _tiny_cfg()
+    ocfg = cfg.overlap_config()
+    a = _batch()
+    tr, packed = pipeline(*a, cfg)
+    sel = jnp.asarray([0, 2])
+    tot, fit_std, tf_new, tf_old = overlap(sel, *a, tr, ocfg)
+    assert np.asarray(fit_std).shape == (2,)
+    assert np.asarray(tf_new).shape == (2,) and np.asarray(tf_old).shape == (2,)
+    # Full-overlap, already-good pairs: the incumbent's trimmed fitness sits
+    # at the tiny config's accuracy floor (4^3 grid, 128-pt clouds), and the
+    # overlap solve cannot beat it by the adopt margin (no spurious
+    # replacement on full-overlap data).
+    assert (np.asarray(tf_old) < 5e-2).all(), np.asarray(tf_old)
+    # And the overlap solve itself still lands in the right basin.
+    assert (np.asarray(fit_std) < 5e-2).all(), np.asarray(fit_std)
