@@ -66,6 +66,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _short_cfg(c):
+    return f"{c.rotation_steps}^3x{c.overlap_iterations}"
+
+
 def bench_config():
     """The tuned bench knobs, validated RMSE-identical per pair on the 23
     golden pairs (BASELINE.md optimization ladders). Shared with
@@ -135,16 +139,18 @@ def make_programs():
         return tot, fit2
 
     @partial(jax.jit, static_argnames=("cfg",))
-    def overlap(sel, sp, sm_, tp, tm_, pn, tr, cfg):
-        # Overlap-tier resolve (escalate.overlap_rerun contract): gather the
-        # flagged full-res rows, re-resample in-jit (same pattern as the
-        # polish program — FPS is deterministic), run the batched
-        # overlap-robust solve and score the incumbent transform with the
-        # same bidirectional trimmed metric. cfg must be the overlap config.
-        (rs, rsm), (rt, rtm) = resample_pairs(
-            sp[sel], sm_[sel], tp[sel], tm_[sel], pn[sel], cfg)
-        return overlap_solve_batch(
-            rs, rsm, rt, rtm, jax.tree.map(lambda x: x[sel], tr), cfg)
+    def overlap(sp, sm_, tp, tm_, pn, tr, cfg):
+        # Overlap-tier resolve (escalate.overlap_rerun contract). Inputs are
+        # PRE-GATHERED flagged rows (the host slices before the call) so the
+        # program's XLA shape depends only on the chunk size
+        # (escalate_pad), never the corpus size — one compile serves the
+        # saturated batch and every challenge scenario. Re-resamples in-jit
+        # (FPS is deterministic, same pattern as the polish program), runs
+        # the batched overlap-robust solve and scores the incumbent
+        # transform with the same bidirectional trimmed metric. cfg must be
+        # the overlap config.
+        (rs, rsm), (rt, rtm) = resample_pairs(sp, sm_, tp, tm_, pn, cfg)
+        return overlap_solve_batch(rs, rsm, rt, rtm, tr, cfg)
 
     return pipeline, measure_all, polish, overlap
 
@@ -311,24 +317,25 @@ def main() -> int:
             result=tr_all, chunk=b, cap=((nsat + b - 1) // b) * b,
             flags=(fit_all > cfg.escalate_threshold) | hit_all)
         # Overlap tier (VERDICT r3 item 1): pairs still fitness-flagged
-        # after the fine grid get one overlap-robust solve, adopted by the
-        # bidirectional trimmed-fitness margin. Chunked at escalate_pad (8)
-        # so the heavy 16^3 x3-iteration program compiles one small shape.
-        ocfg = ecfg.overlap_config()
-
-        def oresolve(sel, _a=(sp, sm_, tp, tm_, pn)):
-            tr_sel = jax.tree.map(jnp.asarray, tr_all)
-            return overlap_prog(jnp.asarray(sel),
-                                *map(jnp.asarray, _a), tr_sel, ocfg)
-
+        # after the fine grid get overlap-robust solves — TWO rungs (8^3
+        # then 16^3; they fix complementary basins, see BASELINE.md r4) —
+        # adopted by the bidirectional trimmed-fitness margin. Chunked at
+        # escalate_pad (8) so each heavy program compiles one small shape.
         if cfg.overlap_escalate:
-            tr_all, fit_all, owins, o_flagged = overlap_rerun(
-                oresolve, fit_all, cfg.escalate_threshold, cfg.escalate_pad,
-                cfg.overlap_adopt_margin, result=tr_all,
-                chunk=cfg.escalate_pad)
-            if o_flagged:
-                log(f"overlap tier: {o_flagged} flagged, "
-                    f"{len(owins)} adopted")
+            for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
+                def oresolve(sel, _a=(sp, sm_, tp, tm_, pn), _oc=ocfg):
+                    tr_sel = jax.tree.map(
+                        lambda x: jnp.asarray(np.asarray(x)[sel]), tr_all)
+                    return overlap_prog(
+                        *[jnp.asarray(x[sel]) for x in _a], tr_sel, _oc)
+
+                tr_all, fit_all, owins, o_flagged = overlap_rerun(
+                    oresolve, fit_all, cfg.escalate_threshold,
+                    cfg.escalate_pad, cfg.overlap_adopt_margin,
+                    result=tr_all, chunk=cfg.escalate_pad)
+                if o_flagged:
+                    log(f"overlap rung {_short_cfg(ocfg)}: {o_flagged} "
+                        f"flagged, {len(owins)} adopted")
         esc_dt = time.perf_counter() - t0
         rm_all = measure_chunked(tr_all, sp, sm_, tp, tm_)
         log(f"saturated batch: {nsat} pairs, escalated={n_flagged} "
@@ -387,6 +394,7 @@ def main() -> int:
     # analogues (kss_icp_tpu/challenge.py), judged by POSE error against
     # the recorded ground truth. Chunked through the SAME batch-b pipeline
     # program (repetition padding) so no new XLA program compiles.
+    challenge_rows = []
     try:
         from kss_icp_tpu.challenge import challenge_corpus, transform_rmse
         from kss_icp_tpu.core.transforms import apply_similarity
@@ -421,21 +429,24 @@ def main() -> int:
 
             if cfg.overlap_escalate:
                 # Overlap tier — the pass that carries the partial
-                # (RGB-D-analogue) scenario (VERDICT r3 item 1).
-                ocfg_ch = ecfg.overlap_config()
+                # (RGB-D-analogue) scenario (VERDICT r3 item 1); two rungs
+                # as in the saturated section.
+                for ocfg_ch in (cfg.overlap_config(), ecfg.overlap_config()):
+                    def coresolve(sel, _a=(csp, csm, ctp, ctm, cpn),
+                                  _oc=ocfg_ch):
+                        tr_sel = jax.tree.map(
+                            lambda x: jnp.asarray(np.asarray(x)[sel]), tr_ch)
+                        return overlap_prog(
+                            *[jnp.asarray(x[sel]) for x in _a], tr_sel, _oc)
 
-                def coresolve(sel, _a=(csp, csm, ctp, ctm, cpn)):
-                    tr_sel = jax.tree.map(jnp.asarray, tr_ch)
-                    return overlap_prog(jnp.asarray(sel),
-                                        *map(jnp.asarray, _a), tr_sel, ocfg_ch)
-
-                tr_ch, fit_ch, owins_ch, o_fl = overlap_rerun(
-                    coresolve, fit_ch, cfg.escalate_threshold,
-                    cfg.escalate_pad, cfg.overlap_adopt_margin,
-                    result=tr_ch, chunk=cfg.escalate_pad)
-                if o_fl:
-                    log(f"challenge/{scenario} overlap tier: {o_fl} flagged, "
-                        f"{len(owins_ch)} adopted")
+                    tr_ch, fit_ch, owins_ch, o_fl = overlap_rerun(
+                        coresolve, fit_ch, cfg.escalate_threshold,
+                        cfg.escalate_pad, cfg.overlap_adopt_margin,
+                        result=tr_ch, chunk=cfg.escalate_pad)
+                    if o_fl:
+                        log(f"challenge/{scenario} overlap rung "
+                            f"{_short_cfg(ocfg_ch)}: {o_fl} flagged, "
+                            f"{len(owins_ch)} adopted")
             errs = np.asarray([
                 transform_rmse(
                     np.asarray(apply_similarity(
@@ -454,8 +465,27 @@ def main() -> int:
                 f"challenge_{scenario}_median_pose_rmse":
                     round(float(np.median(errs)), 6),
             })
+            # Per-pair pose errors for the driver (VERDICT r3 item 4: the
+            # success RATE can mask drift; the per-pair values can't).
+            challenge_rows.extend(
+                {"name": cpairs[i][0], "scenario": scenario,
+                 "pose_rmse": round(float(errs[i]), 6),
+                 "threshold": thr, "ok": bool(errs[i] <= thr)}
+                for i in range(n))
     except Exception as e:
         log(f"challenge corpus unavailable: {e}")
+
+    if challenge_rows:
+        # Append to the per-pair side file so the one-line JSON stays one
+        # line (same pattern as the saturated per-pair table).
+        pp_path = Path(__file__).resolve().parent / "BENCH_PAIRS.json"
+        try:
+            existing = json.loads(pp_path.read_text()) if pp_path.exists() else {}
+        except ValueError:
+            existing = {}
+        existing["challenge"] = challenge_rows
+        pp_path.write_text(json.dumps(existing, indent=1))
+        log(f"challenge per-pair pose table -> {pp_path}")
 
     base_rate, base_src = reference_pairs_per_sec()
     result = {

@@ -664,21 +664,26 @@ def register_pair(
                 and float(res.fitness) > cfg.escalate_threshold):
             # Overlap tier (VERDICT r3 item 1): fitness still poor after the
             # fine grid — the signature of a partially-overlapping pair whose
-            # crop-biased pre-shape no rotation search can fix. Adoption is
-            # by the bidirectional trimmed-fitness margin, never plain
-            # fitness (a correct partial alignment has WORSE untrimmed
-            # fitness than a wrong crop-biased one by construction).
+            # crop-biased pre-shape no rotation search can fix. TWO rungs —
+            # the coarse-grid solve first, then the fine-grid one — because
+            # they fix complementary basins (measured on the ~60%-overlap
+            # tier: 16^3 recovers se/rev pairs the 8^3 misses, 8^3 recovers
+            # box pairs the 16^3 misses). Adoption at each rung is by the
+            # bidirectional trimmed-fitness margin, never plain fitness (a
+            # correct partial alignment has WORSE untrimmed fitness than a
+            # wrong crop-biased one by construction).
             from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
 
-            ocfg = cfg.escalation_config().overlap_config()
             a = (src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0])
-            res_o = register_overlap_resampled(*a, ocfg)
-            q = ocfg.overlap_trim_fraction
-            tf_old = float(trimmed_fitness(res.transform, *a, q))
-            tf_new = float(res_o.fitness)
-            if tf_new < cfg.overlap_adopt_margin * tf_old:
-                aligned = apply_similarity(res_o.transform, a[0])
-                fit_std = masked_mean_nn_sqdist(
-                    aligned[None], a[1][None], a[2][None], a[3][None])[0]
-                res = res_o._replace(fitness=fit_std)
+            for ocfg in (cfg.overlap_config(),
+                         cfg.escalation_config().overlap_config()):
+                res_o = register_overlap_resampled(*a, ocfg)
+                q = ocfg.overlap_trim_fraction
+                tf_old = float(trimmed_fitness(res.transform, *a, q))
+                tf_new = float(res_o.fitness)
+                if tf_new < cfg.overlap_adopt_margin * tf_old:
+                    aligned = apply_similarity(res_o.transform, a[0])
+                    fit_std = masked_mean_nn_sqdist(
+                        aligned[None], a[1][None], a[2][None], a[3][None])[0]
+                    res = res_o._replace(fitness=fit_std)
     return res

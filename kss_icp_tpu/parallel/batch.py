@@ -197,23 +197,27 @@ def register_many(
                 overlap_solve_batch,
             )
 
-            ocfg = ecfg.overlap_config()
+            # Two rungs — coarse-grid then fine-grid overlap solves fix
+            # COMPLEMENTARY basins (see register_pair); each adoption
+            # updates the incumbent the next rung must beat by the margin.
+            for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
+                def oresolve(sel, _oc=ocfg):
+                    sel_j = jnp.asarray(sel)
+                    tr_sel = jax.tree.map(
+                        lambda x: jnp.asarray(x)[sel_j], res.transform)
+                    return overlap_solve_batch(
+                        sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
+                        tr_sel, _oc)
 
-            def oresolve(sel):
-                sel_j = jnp.asarray(sel)
-                tr_sel = jax.tree.map(
-                    lambda x: jnp.asarray(x)[sel_j], res.transform)
-                return overlap_solve_batch(
-                    sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j], tr_sel, ocfg)
-
-            tr_np, fit, _, _ = overlap_rerun(
-                oresolve, res.fitness, escalate_threshold, ecfg.escalate_pad,
-                cfg.overlap_adopt_margin, result=res.transform,
-            )
-            res = res._replace(
-                transform=jax.tree.map(jnp.asarray, tr_np),
-                fitness=jnp.asarray(fit),
-            )
+                tr_np, fit, _, _ = overlap_rerun(
+                    oresolve, res.fitness, escalate_threshold,
+                    ecfg.escalate_pad, cfg.overlap_adopt_margin,
+                    result=res.transform, chunk=ecfg.escalate_pad,
+                )
+                res = res._replace(
+                    transform=jax.tree.map(jnp.asarray, tr_np),
+                    fitness=jnp.asarray(fit),
+                )
 
     aligned = jax.jit(jax.vmap(apply_similarity))(res.transform, s_pts)
     metrics = jax.jit(jax.vmap(partial(registration_measure_padded, chunk=None)))(

@@ -107,20 +107,21 @@ def main() -> int:
     # fitness-flagged after escalation, but when it does the compile is the
     # heaviest in the bench — prime it.
     if cfg.overlap_escalate:
-        ocfg = ecfg.overlap_config()
-        for n in [b] + ([nsat] if nsat and nsat != b else []):
-            tr_n = Similarity(
-                scale=f32((n,), np.float32),
-                rotation=f32((n, 3, 3), np.float32),
-                translation=f32((n, 3), np.float32),
-            )
-            k = cfg.escalate_pad
+        # One shape serves every corpus: inputs are pre-gathered to the
+        # escalate_pad chunk size.
+        k = cfg.escalate_pad
+        tr_k = Similarity(
+            scale=f32((k,), np.float32),
+            rotation=f32((k, 3, 3), np.float32),
+            translation=f32((k, 3), np.float32),
+        )
+        for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
             t0 = time.perf_counter()
-            overlap.lower(f32((k,), np.int32), *shapes(n), tr_n,
-                          ocfg).compile()
+            overlap.lower(*shapes(k), tr_k, ocfg).compile()
             dt = time.perf_counter() - t0
-            done.append((f"overlap {k}-of-{n}", dt))
-            log(f"primed overlap {k}-of-{n}: {dt:.1f}s")
+            tag = f"overlap {ocfg.rotation_steps}^3 batch-{k}"
+            done.append((tag, dt))
+            log(f"primed {tag}: {dt:.1f}s")
 
     if "--entry" in sys.argv:
         import __graft_entry__ as g

@@ -109,8 +109,12 @@ def test_overlap_program(programs):
     ocfg = cfg.overlap_config()
     a = _batch()
     tr, packed = pipeline(*a, cfg)
-    sel = jnp.asarray([0, 2])
-    tot, fit_std, tf_new, tf_old = overlap(sel, *a, tr, ocfg)
+    # Inputs are pre-gathered (the program's shape depends only on the
+    # chunk size, never the corpus size).
+    sel = np.asarray([0, 2])
+    a_sel = tuple(jnp.asarray(np.asarray(x)[sel]) for x in a)
+    tr_sel = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[sel]), tr)
+    tot, fit_std, tf_new, tf_old = overlap(*a_sel, tr_sel, ocfg)
     assert np.asarray(fit_std).shape == (2,)
     assert np.asarray(tf_new).shape == (2,) and np.asarray(tf_old).shape == (2,)
     # Full-overlap, already-good pairs: the incumbent's trimmed fitness sits
