@@ -380,8 +380,14 @@ def register_overlap_resampled(
     )
     best_fit = trimmed_fitness(res.transform, source_points, source_mask,
                                target_points, target_mask, q)
-    for _ in range(max(ocfg.overlap_iterations - 1, 0)):
-        aligned = apply_similarity(res.transform, source_points)
+
+    # The mask-re-estimate iterations run under lax.fori_loop so the heavy
+    # pipeline is traced/compiled TWICE total (initial solve + loop body)
+    # regardless of overlap_iterations — an unrolled version costs one
+    # multi-minute tunnel compile per extra iteration.
+    def body(_, carry):
+        res_c, best_c = carry
+        aligned = apply_similarity(res_c.transform, source_points)
         d2s, _ = nearest_neighbor(aligned, target_points, target_mask)
         sm_in = source_mask & (
             d2s <= masked_quantile_threshold(d2s, source_mask, q))
@@ -393,10 +399,13 @@ def register_overlap_resampled(
         )
         fit2 = trimmed_fitness(res2.transform, source_points, source_mask,
                                target_points, target_mask, q)
-        better = fit2 < best_fit
-        res = jax.tree.map(
-            lambda a, b: jnp.where(better, a, b), res2, res)
-        best_fit = jnp.minimum(fit2, best_fit)
+        better = fit2 < best_c
+        res_n = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), res2, res_c)
+        return res_n, jnp.minimum(fit2, best_c)
+
+    res, best_fit = jax.lax.fori_loop(
+        0, max(ocfg.overlap_iterations - 1, 0), body, (res, best_fit))
     return res._replace(fitness=best_fit)
 
 
