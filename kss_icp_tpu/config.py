@@ -209,6 +209,21 @@ class KSSICPConfig:
     overlap_escalate: bool = True
     overlap_adopt_margin: float = 0.7
 
+    # --- Symmetric-pose tie-break (no reference analogue) ---
+    # On near-symmetric shapes several multi-start basins converge to
+    # near-tied fitness (mean squared NN distance) while only one has the
+    # right POSE: a slid symmetric pose mismatches the shape's
+    # symmetry-breaking features locally, which barely moves the mean but
+    # lifts the high quantile of NN distances. With margin m > 0, refine
+    # candidates whose fitness is within (1+m) of the best are re-ranked by
+    # the pose_tiebreak_quantile NN distance; 0 disables (the reference
+    # contract: pure argmin fitness, KSS_ICP.hpp:100-118). Enabled in the
+    # escalation tier by default (escalate_pose_tiebreak), where the 3
+    # round-3 category failures lived.
+    pose_tiebreak_margin: float = 0.0
+    pose_tiebreak_quantile: float = 0.95
+    escalate_pose_tiebreak: float = 0.12
+
     # --- Numerics / memory (TPU-specific; no reference analogue) ---
     dtype: str = "float32"
     rotation_chunk: int = 64         # rotations scored per lax.map step
@@ -295,6 +310,7 @@ class KSSICPConfig:
             rotation_steps=self.escalate_rotation_steps,
             max_candidates=self.escalate_max_candidates,
             refine_candidates=max(self.refine_candidates, 4),
+            pose_tiebreak_margin=self.escalate_pose_tiebreak,
             coarse_points=0,
             coarse_target_points=0,
             screen_target_points=0,

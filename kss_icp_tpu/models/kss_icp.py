@@ -227,8 +227,17 @@ def register_resampled(
                 )
                 judge_a = jnp.where(coarse.candidate_mask[sel][0],
                                     probe.fitness, _BIG)
+            best_a = jnp.argmin(fit_a)
+            if cfg.pose_tiebreak_margin:
+                al_a = (res_a.scale[:, None, None]
+                        * jnp.einsum("kij,kpj->kpi", res_a.rotation,
+                                     rotated[sel],
+                                     precision=jax.lax.Precision.HIGHEST)
+                        + res_a.translation[:, None, :])
+                best_a = _pose_tiebreak_select(
+                    fit_a, al_a, source_mask, target_points, target_mask, cfg)
             local_a = jnp.where(judge_a <= cfg.multistart_fitness_gate,
-                                0, jnp.argmin(fit_a))
+                                0, best_a)
             res = refine_icp(
                 rotated[sel][local_a], source_mask, target_points, target_mask,
                 refine_params, res_a.rotation[local_a],
@@ -283,7 +292,15 @@ def register_resampled(
 
     judge_fitness = fit[0]  # slot 0 == best grid angle in both modes
     use_best = judge_fitness <= cfg.multistart_fitness_gate
-    local = jnp.where(use_best, 0, jnp.argmin(fit))
+    best_k = jnp.argmin(fit)
+    if cfg.pose_tiebreak_margin:
+        al_k = (res.scale[:, None, None]
+                * jnp.einsum("kij,kpj->kpi", res.rotation, rotated[sel],
+                             precision=jax.lax.Precision.HIGHEST)
+                + res.translation[:, None, :])
+        best_k = _pose_tiebreak_select(
+            fit, al_k, source_mask, target_points, target_mask, cfg)
+    local = jnp.where(use_best, 0, best_k)
     choice = sel[local]
 
     # 5. Compose: full transform = ICP ∘ R_candidate ∘ preshape.
@@ -306,6 +323,35 @@ def register_resampled(
             jnp.logical_not(res.converged[local])),
         coarse=coarse,
     )
+
+
+
+def _pose_tiebreak_select(
+    fit: jnp.ndarray,            # (K,) candidate fitnesses (BIG = invalid)
+    aligned: jnp.ndarray,        # (K, P, 3) candidate-aligned source clouds
+    source_mask: jnp.ndarray,    # (P,)
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    cfg: KSSICPConfig,
+) -> jnp.ndarray:
+    """Symmetric-pose tie-break (KSSICPConfig.pose_tiebreak_margin): among
+    candidates whose fitness is within (1+margin) of the best, pick the one
+    with the smallest pose_tiebreak_quantile NN distance — a slid symmetric
+    pose mismatches the shape's symmetry-breaking features locally, which
+    barely moves mean squared distance but lifts the high quantile. Replaces
+    plain argmin(fit) (the reference contract, KSS_ICP.hpp:100-118) only
+    when margin > 0."""
+    from kss_icp_tpu.ops.nn import masked_quantile_threshold, nearest_neighbor
+
+    fmin = jnp.min(fit)
+    near = fit <= fmin * (1.0 + cfg.pose_tiebreak_margin)
+    d2, _ = jax.vmap(lambda a: nearest_neighbor(a, target_points, target_mask))(
+        aligned
+    )
+    q = masked_quantile_threshold(
+        jnp.sqrt(d2), jnp.broadcast_to(source_mask, d2.shape),
+        cfg.pose_tiebreak_quantile)
+    return jnp.argmin(jnp.where(near, q, _BIG))
 
 
 def trimmed_fitness(

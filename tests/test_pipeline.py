@@ -144,3 +144,49 @@ def test_bundled_pair_recovers_recorded_rotation(reference_data_dir, model):
     assert np.degrees(np.arccos(cos_angle)) < 10.0, (model, resid)
     # And the recovered scale is ~1 (pure rotation in the bundled set).
     np.testing.assert_allclose(float(res.transform.scale), 1.0, rtol=0.05)
+
+
+def test_pose_tiebreak_select_prefers_true_pose():
+    """Symmetric-pose tie-break (VERDICT r3 item 3): on a cylinder with one
+    symmetry-breaking bump, the TRUE pose carries uniform moderate error
+    (ICP run-to-run noise analogue) while the 180-degree-slid pose carries
+    small error everywhere EXCEPT a large localized bump mismatch — equal
+    means, different tails. This fixture is pinned in the regime where
+    argmin(fitness) picks the SLID pose (fitness ratio 1.03) but the
+    0.95-quantile NN distance picks the TRUE one."""
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.config import KSSICPConfig
+    from kss_icp_tpu.models.kss_icp import _pose_tiebreak_select
+    from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
+
+    r0 = np.random.default_rng(0)
+    n = 1200
+    th = r0.uniform(0, 2 * np.pi, n)
+    z = r0.uniform(-1, 1, n)
+    pts = np.stack([np.cos(th), np.sin(th), z], -1)
+    # bump: small radial bulge near theta=pi (wrapped), z=0.5
+    w = np.exp(-((np.mod(th + np.pi, 2 * np.pi) - np.pi) ** 2 / 0.05
+                 + (z - 0.5) ** 2 / 0.025))
+    tgt = (pts * (1 + 0.035 * w[:, None])).astype(np.float32)
+    rot = np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float32)
+
+    r1 = np.random.default_rng(1)
+    true_c = tgt + r1.normal(scale=0.045, size=tgt.shape).astype(np.float32)
+    slid_c = (tgt + r1.normal(scale=0.012, size=tgt.shape).astype(np.float32)) @ rot.T
+    cand = np.stack([true_c, slid_c])
+    mask = jnp.ones(n, bool)
+    tgt_j = jnp.asarray(tgt)
+
+    fits = jnp.stack([
+        masked_mean_nn_sqdist(jnp.asarray(cand[k]), mask, tgt_j, mask)
+        for k in range(2)])
+    # Premise: plain argmin picks the WRONG (slid) pose, and the tie is
+    # within the escalation tier's 12% margin.
+    assert int(jnp.argmin(fits)) == 1
+    assert float(jnp.max(fits) / jnp.min(fits)) < 1.12
+
+    cfg = KSSICPConfig(pose_tiebreak_margin=0.12)
+    pick = _pose_tiebreak_select(
+        fits, jnp.asarray(cand), mask, tgt_j, mask, cfg)
+    assert int(pick) == 0  # the true pose, against argmin(fit)
