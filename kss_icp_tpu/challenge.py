@@ -281,15 +281,19 @@ def partial_corpus(n_points: int = 6000, keep: float = 0.92,
     keeps `keep` of its points → overlap ~ 2*keep-1 of the surface), with
     Gaussian sensor noise and uniform outliers.
 
-    Difficulty calibration (CPU, bench config): keep=0.92 (~84% overlap,
-    the default — strong-overlap scans like the reference's RGB-D demos)
-    succeeds 6/8; keep=0.8 (~60% overlap) fails 7/8 — Kendall pre-shape
-    normalization estimates centroid+scale from ALL points, so asymmetric
-    crops bias the normalization and the coarse field scores the wrong
-    basin. That is a LIMITATION OF THE METHOD the reference shares (its
-    pipeline normalizes identically, initRegistrationKSS.hpp:144-220);
-    the hard tier is kept in challenge_corpus(include_hard=True) to
-    document it."""
+    Difficulty calibration (CPU, bench config, round 4 corpus): the BASE
+    pipeline (+16^3 escalation) succeeds 6/8 at keep=0.92 (~84% overlap —
+    strong-overlap scans like the reference's RGB-D demos) and ~1/8 at
+    keep=0.8 (~60% overlap): Kendall pre-shape normalization estimates
+    centroid+scale from ALL points, so asymmetric crops bias the
+    normalization — and the scale error is uncorrectable by rigid ICP. The
+    reference shares this limitation (it normalizes identically,
+    initRegistrationKSS.hpp:144-220). The round-4 OVERLAP TIER (trimmed
+    field + trimmed similarity ICP + iterated inlier pre-shape,
+    models/kss_icp.register_overlap_resampled) recovers most of both tiers
+    — measured per-variant numbers in BASELINE.md round-4 and the shipping
+    ladder's rates in BENCH_r04. The hard tier stays in
+    challenge_corpus(include_hard=True) to keep the limitation measured."""
     out = []
     k = 0
     for f, (fname, _) in enumerate(FAMILIES):

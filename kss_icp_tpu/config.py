@@ -114,6 +114,14 @@ class KSSICPConfig:
     # positions), so accuracy is preserved while the big batch's cap can
     # drop to ~8. No reference analogue (the reference solves serially,
     # Main_KSS_List.cpp:151-179, so it never pays a lockstep tail).
+    # DECISION (round 4, VERDICT r3 item 9): stays an opt-in experimental
+    # knob, OFF in the shipping/bench config — TPU measurements rejected it
+    # (each polish launch costs more than the lockstep saving; BASELINE.md
+    # round-3 ladder) and the serving path finishes capped lanes through
+    # the hit-cap -> escalation fold instead, which the round-4 cap sweep
+    # exploits. It remains bit-equivalent on CPU (tests/test_escalate.py)
+    # and is the right tool for single-pair hosts without an escalation
+    # budget.
     refine_polish_iterations: int = 0
     # Matmul precision of the screening ICP's correspondences (ranking only;
     # the screening fitness itself is computed at HIGHEST after the loop).

@@ -5,6 +5,7 @@ round-4 overlap work; the per-variant science lives in
 scripts/overlap_experiment.py.
 
 Usage: python scripts/overlap_ladder_check.py [keep ...]
+       python scripts/overlap_ladder_check.py --category   # category corpus
 """
 
 import sys
@@ -22,16 +23,22 @@ import jax.numpy as jnp
 
 
 def main():
-    keeps = [float(a) for a in sys.argv[1:]] or [0.92, 0.8]
+    args = list(sys.argv[1:])
+    category = "--category" in args
+    if category:
+        args.remove("--category")
+    keeps = [float(a) for a in args] or [0.92, 0.8]
 
     from bench import bench_config
-    from kss_icp_tpu.challenge import partial_corpus, transform_rmse
+    from kss_icp_tpu.challenge import (
+        category_corpus, partial_corpus, transform_rmse)
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.parallel.batch import register_many
 
     cfg = bench_config()
-    for keep in keeps:
-        pairs = partial_corpus(keep=keep)
+    tiers = ([("category", category_corpus())] if category
+             else [(k, partial_corpus(keep=k)) for k in keeps])
+    for keep, pairs in tiers:
         t0 = time.time()
         res, m = register_many([(s, t) for _, s, t, _ in pairs], cfg)
         dt = time.time() - t0
