@@ -73,12 +73,23 @@ def _short_cfg(c):
 def bench_config():
     """The tuned bench knobs, validated RMSE-identical per pair on the 23
     golden pairs (BASELINE.md optimization ladders). Shared with
-    scripts/prime_cache.py so priming compiles the exact bench programs."""
+    scripts/prime_cache.py so priming compiles the exact bench programs.
+
+    refine_max_iterations=16 (round 4): with the hit-cap -> escalation fold
+    a capped-out lane is always finished by the uncapped 16^3 keep-better
+    re-solve, so the batch cap stops being an accuracy risk and becomes a
+    pure lockstep-tail bound. Measured (scripts/cap_perpair.py, b78): 148.7
+    -> 190.2 pairs/s, ZERO per-pair regressions, 5 hard lanes IMPROVE (the
+    16^3 re-solve beats a long 8^3 converge; max RMSE 0.0435 -> 0.0248),
+    and every golden lane converges within 16 so the b23 parity table is
+    bit-identical. Cap 8 measured 203.9 pairs/s with golden lanes flagging
+    into escalation — rejected to keep the golden-batch protocol
+    escalation-free."""
     from kss_icp_tpu.config import KSSICPConfig
 
     return KSSICPConfig(max_candidates=6, coarse_points=512,
                         coarse_target_points=512, refine_candidates=2,
-                        refine_tier_iterations=12, refine_max_iterations=48)
+                        refine_tier_iterations=12, refine_max_iterations=16)
 
 
 def make_programs():
@@ -312,10 +323,11 @@ def main() -> int:
         # cap at a MULTIPLE of b: padded_selection's default cap (=nsat)
         # would otherwise allow a trailing non-b chunk — a new, unprimed
         # XLA program shape.
+        flags = (fit_all > cfg.escalate_threshold) | hit_all
         tr_all, fit_all, _, n_flagged = escalate_rerun(
             resolve, fit_all, cfg.escalate_threshold, pad_multiple=b,
             result=tr_all, chunk=b, cap=((nsat + b - 1) // b) * b,
-            flags=(fit_all > cfg.escalate_threshold) | hit_all)
+            flags=flags)
         # Overlap tier (VERDICT r3 item 1): pairs still fitness-flagged
         # after the fine grid get overlap-robust solves — TWO rungs (8^3
         # then 16^3; they fix complementary basins, see BASELINE.md r4) —
@@ -330,7 +342,7 @@ def main() -> int:
                         *[jnp.asarray(x[sel]) for x in _a], tr_sel, _oc)
 
                 tr_all, fit_all, owins, o_flagged = overlap_rerun(
-                    oresolve, fit_all, cfg.escalate_threshold,
+                    oresolve, fit_all, cfg.overlap_threshold,
                     cfg.escalate_pad, cfg.overlap_adopt_margin,
                     result=tr_all, chunk=cfg.escalate_pad)
                 if o_flagged:
@@ -340,6 +352,24 @@ def main() -> int:
         rm_all = measure_chunked(tr_all, sp, sm_, tp, tm_)
         log(f"saturated batch: {nsat} pairs, escalated={n_flagged} "
             f"({esc_dt:.1f}s incl. compile on first run)")
+
+        # Honest end-to-end serving rate: the batch figure excludes the
+        # escalation pass, which IS real per-solve work whenever hard lanes
+        # flag (round-4 finding: the uncapped 16^3 lockstep re-solve costs
+        # ~2.7 s/launch — the true serving bottleneck). Time one
+        # steady-state escalation pass over the same padded selection.
+        esc_steady = 0.0
+        if n_flagged:
+            flagged = np.nonzero(flags)[0]
+            selp = np.concatenate(
+                [flagged, np.repeat(flagged[:1], (b - flagged.size % b) % b)])
+            t0 = time.perf_counter()
+            for c0 in range(0, selp.size, b):
+                resolve(selp[c0:c0 + b])
+            esc_steady = time.perf_counter() - t0
+        e2e_rate = nsat / (nsat / sat_rate + esc_steady)
+        log(f"saturated e2e (batch + steady escalation {esc_steady:.2f}s): "
+            f"{e2e_rate:.1f} pairs/s")
 
         fit_pre = np.asarray(out_s[1])  # pre-escalation fitness per pair
         # Per-pair table at the reference's granularity
@@ -383,6 +413,8 @@ def main() -> int:
             off += n
         extra_results.update({
             "value_saturated": round(sat_rate, 4),
+            "value_saturated_e2e": round(e2e_rate, 4),
+            "escalation_steady_s": round(esc_steady, 3),
             "batch_saturated": nsat,
             "sec_per_pair_saturated": round(1.0 / sat_rate, 6),
             "remesh_protocol": "transfer",
@@ -440,7 +472,7 @@ def main() -> int:
                             *[jnp.asarray(x[sel]) for x in _a], tr_sel, _oc)
 
                     tr_ch, fit_ch, owins_ch, o_fl = overlap_rerun(
-                        coresolve, fit_ch, cfg.escalate_threshold,
+                        coresolve, fit_ch, cfg.overlap_threshold,
                         cfg.escalate_pad, cfg.overlap_adopt_margin,
                         result=tr_ch, chunk=cfg.escalate_pad)
                     if o_fl:

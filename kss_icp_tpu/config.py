@@ -161,7 +161,25 @@ class KSSICPConfig:
     # grid and the better fitness wins. Measured: clears 30/30 stress pairs;
     # golden pairs never trigger, so steady-state throughput is unchanged.
     auto_escalate: bool = True
-    escalate_threshold: float = 3e-3
+    # Fitness gate for the 16^3 re-solve. Measured populations (round 4,
+    # BENCH_PAIRS over the 78-pair serving corpus + challenge): correct
+    # golden/stress solves land at <= 1.5e-3, wrong-basin symmetric
+    # impostors at >= 2.07e-3 (rev/1, box/2 full-converge tables,
+    # scripts/symmetry_experiment.py) — the old 3e-3 gate let those
+    # impostors ship unescalated. 1.8e-3 flags every observed impostor with
+    # margin while golden lanes stay below; the 2-3 remesh pairs sitting at
+    # their density floor (1.9-2.6e-3) re-escalate each run at zero
+    # marginal cost (they join the escalation chunk that already runs) and
+    # keep-better preserves their result.
+    escalate_threshold: float = 1.8e-3
+    # The overlap tier triggers at the same bar (measured, round 4: the
+    # part/box0 wrong-basin solve sits below 3e-3 on TPU and shipped wrong —
+    # a higher overlap bar re-creates exactly the threshold blindness that
+    # hid rev/1 and box/2 from escalation). Density-floor pairs between
+    # 1.8e-3 and 3e-3 do pay the overlap solves each run; the margin rule
+    # keeps their results untouched, and the cost is two bounded 8-lane
+    # launches.
+    overlap_threshold: float = 1.8e-3
     escalate_rotation_steps: int = 16
     escalate_max_candidates: int = 16
     # Escalation re-solve batch is padded (by repetition) to a multiple of

@@ -716,7 +716,7 @@ def register_pair(
         if wins:
             res = wins[-1][1]
         if (cfg.overlap_escalate
-                and float(res.fitness) > cfg.escalate_threshold):
+                and float(res.fitness) > cfg.overlap_threshold):
             # Overlap tier (VERDICT r3 item 1): fitness still poor after the
             # fine grid — the signature of a partially-overlapping pair whose
             # crop-biased pre-shape no rotation search can fix. TWO rungs —

@@ -210,7 +210,7 @@ def register_many(
                         tr_sel, _oc)
 
                 tr_np, fit, _, _ = overlap_rerun(
-                    oresolve, res.fitness, escalate_threshold,
+                    oresolve, res.fitness, cfg.overlap_threshold,
                     ecfg.escalate_pad, cfg.overlap_adopt_margin,
                     result=res.transform, chunk=ecfg.escalate_pad,
                 )

@@ -1,14 +1,8 @@
-"""Symmetric-pose disambiguation experiment (round 4, VERDICT item 3).
-
-For the failing category-challenge pairs (near-tied symmetric-slide
-basins), enumerate EVERY multi-start candidate of the escalation-grade
-solve, fully converge each, and print per candidate: ICP fitness, three
-secondary scores (max NN distance, 0.95-quantile NN distance, diff =
-max - mean), and the ground-truth pose error. Shows whether the true basin
-is among the candidates and which secondary metric separates it from the
-symmetric impostor when fitness is near-tied.
-
-Usage: python scripts/symmetry_experiment.py [pair-name ...]
+"""Where does the true basin rank in the escalation tier's SCREEN stage?
+(round 4 follow-up to symmetry_experiment: full-converge fitness ranks the
+true pose first for rev/1 and box/2, yet the shipping two-phase pipeline
+fails them — hypothesis: the 20-iteration 512-point screen misranks it
+below refine_candidates=4.)
 """
 
 import sys
@@ -31,7 +25,7 @@ import jax.numpy as jnp
 
 
 def main():
-    want = set(sys.argv[1:]) or {"se/2", "rev/1", "box/2", "se/0", "tube/1"}
+    want = set(sys.argv[1:]) or {"rev/1", "box/2", "se/2", "tube/1"}
 
     from bench import bench_config
     from kss_icp_tpu.challenge import category_corpus, transform_rmse
@@ -41,7 +35,6 @@ def main():
     from kss_icp_tpu.models.coarse import coarse_align
     from kss_icp_tpu.models.icp import ICPParams, icp
     from kss_icp_tpu.models.kss_icp import resample_pairs
-    from kss_icp_tpu.ops.nn import masked_quantile_threshold, nearest_neighbor
 
     cfg = bench_config()
     ecfg = cfg.escalation_config()
@@ -56,7 +49,7 @@ def main():
         return out, m
 
     @jax.jit
-    def solve_all(sp, sm, tp, tm):
+    def screen_and_full(sp, sm, tp, tm):
         sim0, _, _ = middle_align(sp, sm, tp, tm)
         src_al = apply_similarity(sim0, sp)
         coarse = coarse_align(
@@ -69,22 +62,17 @@ def main():
         rotated = jnp.einsum("kij,pj->kpi", r_cand, src_al,
                              precision=jax.lax.Precision.HIGHEST)
         params = ICPParams.from_config(ecfg, sp.dtype)
-        res = jax.vmap(
+        # the shipping escalation screen: 20 iterations on the 512-pt prefix
+        sp_n = ecfg.screen_points
+        screen_params = params._replace(
+            max_iterations=jnp.asarray(ecfg.screen_iterations, jnp.int32))
+        res_s = jax.vmap(lambda s: icp(
+            s[:sp_n], sm[:sp_n], tp, tm, screen_params,
+            precision=ecfg.screen_precision))(rotated)
+        # full converge (the oracle ranking)
+        res_f = jax.vmap(
             lambda s: icp(s, sm, tp, tm, params, precision="high"))(rotated)
-
-        # per-candidate aligned cloud + NN stats
-        def one_stats(rot_s, r_icp, t_icp):
-            al = rot_s @ r_icp.T + t_icp
-            d2, _ = nearest_neighbor(al, tp, tm)
-            d = jnp.sqrt(d2)
-            w = sm.astype(d.dtype)
-            mean = jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
-            mx = jnp.max(jnp.where(sm, d, -1.0))
-            q95 = masked_quantile_threshold(d, sm, 0.95)
-            return mean, mx, q95
-
-        mean, mx, q95 = jax.vmap(one_stats)(rotated, res.rotation, res.translation)
-        return coarse, r_cand, res, sim0, mean, mx, q95
+        return coarse, r_cand, sim0, res_s, res_f
 
     for name, src, tgt, gt in category_corpus():
         if name not in want:
@@ -94,24 +82,29 @@ def main():
         pn = np.int32(cfg.resample_count(int(sm_.sum()), int(tm_.sum())))
         (rs, rsm), (rt, rtm) = resample_pairs(
             sp_[None], sm_[None], tp_[None], tm_[None], jnp.asarray([pn]), cfg)
-        coarse, r_cand, res, sim0, mean, mx, q95 = solve_all(
+        coarse, r_cand, sim0, res_s, res_f = screen_and_full(
             rs[0], rsm[0], rt[0], rtm[0])
         cm = np.asarray(coarse.candidate_mask)
-        fit = np.asarray(res.fitness)
-        order = np.argsort(np.where(cm, fit, 1e30))
-        print(f"=== {name} (candidates={int(cm.sum())}) ===")
-        print(f"{'k':>3s} {'fitness':>10s} {'mean':>8s} {'max':>8s} "
-              f"{'q95':>8s} {'pose':>8s}")
-        for k in order[:8]:
-            icp_sim = S.from_rigid(res.rotation[k], res.translation[k])
+        fs = np.where(cm, np.asarray(res_s.fitness), 1e30)
+        ff = np.where(cm, np.asarray(res_f.fitness), 1e30)
+        screen_rank = np.empty_like(np.argsort(fs))
+        screen_rank[np.argsort(fs)] = np.arange(fs.size)
+        print(f"=== {name} (K={int(cm.sum())}, refine_candidates="
+              f"{ecfg.refine_candidates}) ===")
+        print(f"{'k':>3s} {'full_fit':>10s} {'pose':>8s} {'screen_fit':>11s} "
+              f"{'screen_rank':>11s}")
+        for k in np.argsort(ff)[:6]:
+            icp_sim = S.from_rigid(np.asarray(res_f.rotation)[k],
+                                   np.asarray(res_f.translation)[k])
             cand_sim = S.from_rigid(r_cand[k], jnp.zeros((3,), jnp.float32))
             total = compose(icp_sim, compose(cand_sim, sim0))
             al = np.asarray(apply_similarity(
                 total, jnp.asarray(src, jnp.float32)))
             pose = transform_rmse(al, src, gt)
-            print(f"{k:3d} {fit[k]:10.3e} {np.asarray(mean)[k]:8.4f} "
-                  f"{np.asarray(mx)[k]:8.4f} {np.asarray(q95)[k]:8.4f} "
-                  f"{pose:8.4f}")
+            mark = " <-- DROPPED" if screen_rank[k] >= ecfg.refine_candidates \
+                else ""
+            print(f"{k:3d} {ff[k]:10.3e} {pose:8.4f} {fs[k]:11.3e} "
+                  f"{screen_rank[k]:11d}{mark}")
 
 
 if __name__ == "__main__":

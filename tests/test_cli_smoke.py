@@ -91,8 +91,13 @@ def test_bench_dir_no_x64(tmp_path):
     d = tmp_path / "ds"
     d.mkdir()
     recs = []
-    for i, ang in enumerate((0.7, 2.1)):
-        tgt = random_cloud(rng, 900)
+    # angles within ICP range of the 4^3 grid's nodes (no escalation
+    # here), on an ASYMMETRIC surface so no impostor basin competes
+    for i, ang in enumerate((0.7, 1.5)):
+        u = rng.uniform(-1, 1, 900)
+        v = rng.uniform(-1, 1, 900)
+        z = 0.3 * np.sin(3 * u) * np.cos(2 * v) + 0.25 * u + 0.15 * v * v
+        tgt = np.stack([u, v, z], axis=-1)
         rec = TransferRecord(name=f"m{i}", axis="z", angle=ang)
         save_xyz(d / f"m{i}.wlop", tgt)
         save_xyz(d / f"m{i}.gird", apply_record(tgt[::2], rec))
@@ -101,8 +106,12 @@ def test_bench_dir_no_x64(tmp_path):
     (d / "orphan.gird").write_text("1\n0 0 0\n")  # no target -> ignored
 
     out = tmp_path / "bd.json"
+    # --no-escalate: this smoke test covers discovery + batched solve +
+    # manifest pose scoring; the escalation/overlap ladder would compile
+    # multi-minute programs in a subprocess (covered elsewhere).
     r = _run(["bench-dir", str(d), "--accurate", "4", "--iterations", "60",
-              "--max-candidates", "4", "--json", str(out)], timeout=420)
+              "--max-candidates", "4", "--no-escalate", "--json", str(out)],
+             timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(out.read_text())
     assert res["pairs"] == 2 and res["pose_scored"] == 2
