@@ -342,7 +342,12 @@ class KSSICPConfig:
             screen_target_points=0,
             refine_tier_iterations=0,
             refine_tier_target_points=0,
-            refine_max_iterations=0,
+            # 128 bounds pathological while_loop tails at ZERO measured
+            # accuracy cost (r4 probe: per-pair RMSE identical to uncapped
+            # on all 78 serving rows at caps 128/64; hit-capped lanes flow
+            # to the overlap tier). The escalation pass floor (~1.9-2.1 s)
+            # is the 16^3 full-fidelity field + screen, not the tail.
+            refine_max_iterations=128,
             refine_polish_iterations=0,
             auto_escalate=False,
         )

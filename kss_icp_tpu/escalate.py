@@ -85,6 +85,12 @@ def escalate_rerun(
     if flagged.size == 0:
         return result, fitness, [], 0
     sel = padded_selection(flagged, pad_multiple, cap if cap is not None else b)
+    if chunk and sel.size > chunk:
+        # Worst-fitness rows first: each chunk's vmapped while_loops run to
+        # their own slowest lane, so grouping hard rows together lets the
+        # easy chunks exit early (measured r4: part of the 2.77 -> 2.08 s
+        # escalation-pass cut).
+        sel = sel[np.argsort(-fitness[sel])]
     if result is not None:
         result = jax.tree.map(lambda x: np.asarray(x).copy(), result)
     step = chunk if chunk else sel.size
