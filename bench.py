@@ -150,6 +150,21 @@ def make_programs():
         return tot, fit2
 
     @partial(jax.jit, static_argnames=("cfg",))
+    def trimmed_probe(sp, sm_, tp, tm_, pn, tr, cfg):
+        # Crop-signature probe (pre-gathered rows, same shape contract as
+        # the overlap program): bidirectional trimmed fitness of the
+        # incumbent transforms — two NN passes per row, milliseconds — used
+        # to gate the overlap rungs (KSSICPConfig.overlap_gate_ratio).
+        from kss_icp_tpu.models.kss_icp import trimmed_fitness
+
+        (rs, rsm), (rt, rtm) = resample_pairs(sp, sm_, tp, tm_, pn, cfg)
+
+        def one(a, b, c, d, t):
+            return trimmed_fitness(t, a, b, c, d, cfg.overlap_trim_fraction)
+
+        return jax.vmap(one)(rs, rsm, rt, rtm, tr)
+
+    @partial(jax.jit, static_argnames=("cfg",))
     def overlap(sp, sm_, tp, tm_, pn, tr, cfg):
         # Overlap-tier resolve (escalate.overlap_rerun contract). Inputs are
         # PRE-GATHERED flagged rows (the host slices before the call) so the
@@ -163,7 +178,7 @@ def make_programs():
         (rs, rsm), (rt, rtm) = resample_pairs(sp, sm_, tp, tm_, pn, cfg)
         return overlap_solve_batch(rs, rsm, rt, rtm, tr, cfg)
 
-    return pipeline, measure_all, polish, overlap
+    return pipeline, measure_all, polish, overlap, trimmed_probe
 
 
 def load_pairs():
@@ -221,7 +236,32 @@ def main() -> int:
              for m1, m2 in zip(sm, tm)], np.int32)
         return sp, sm, tp, tm, pn
 
-    pipeline, measure_all, polish, overlap_prog = make_programs()
+    pipeline, measure_all, polish, overlap_prog, trimmed_probe = make_programs()
+
+    def overlap_flags(fit_arr, tr_np, arrays, c):
+        """(fitness > overlap_threshold) AND crop-signature ratio below the
+        gate — computed with the tiny trimmed_probe program on 8-row
+        chunks."""
+        base = np.asarray(fit_arr) > c.overlap_threshold
+        idxs = np.nonzero(base)[0]
+        if idxs.size == 0:
+            return base
+        ep8 = c.escalate_pad
+        selp = np.concatenate(
+            [idxs, np.repeat(idxs[:1], (ep8 - idxs.size % ep8) % ep8)])
+        out = np.zeros_like(base)
+        spA, smA, tpA, tmA, pnA = arrays
+        for c0 in range(0, selp.size, ep8):
+            cs = selp[c0:c0 + ep8]
+            tr_sel = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)[cs]), tr_np)
+            tf = np.asarray(trimmed_probe(
+                *map(jnp.asarray, (spA[cs], smA[cs], tpA[cs], tmA[cs],
+                                   pnA[cs])), tr_sel, c))
+            for j, gi in enumerate(cs):
+                if tf[j] < c.overlap_gate_ratio * fit_arr[gi]:
+                    out[gi] = True
+        return out
     args = tuple(map(jnp.asarray, batch_arrays(pairs)))
 
     from kss_icp_tpu.escalate import polish_rerun
@@ -340,6 +380,9 @@ def main() -> int:
         # escalate_pad (8) so each heavy program compiles one small shape.
         if cfg.overlap_escalate:
             for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
+                oflags = overlap_flags(fit_all, tr_all, (sp, sm_, tp, tm_, pn),
+                                       cfg)
+
                 def oresolve(sel, _a=(sp, sm_, tp, tm_, pn), _oc=ocfg):
                     tr_sel = jax.tree.map(
                         lambda x: jnp.asarray(np.asarray(x)[sel]), tr_all)
@@ -349,7 +392,7 @@ def main() -> int:
                 tr_all, fit_all, owins, o_flagged = overlap_rerun(
                     oresolve, fit_all, cfg.overlap_threshold,
                     cfg.escalate_pad, cfg.overlap_adopt_margin,
-                    result=tr_all, chunk=cfg.escalate_pad)
+                    result=tr_all, chunk=cfg.escalate_pad, flags=oflags)
                 if o_flagged:
                     log(f"overlap rung {_short_cfg(ocfg)}: {o_flagged} "
                         f"flagged, {len(owins)} adopted")
@@ -471,6 +514,9 @@ def main() -> int:
                 # (RGB-D-analogue) scenario (VERDICT r3 item 1); two rungs
                 # as in the saturated section.
                 for ocfg_ch in (cfg.overlap_config(), ecfg.overlap_config()):
+                    oflags = overlap_flags(
+                        fit_ch, tr_ch, (csp, csm, ctp, ctm, cpn), cfg)
+
                     def coresolve(sel, _a=(csp, csm, ctp, ctm, cpn),
                                   _oc=ocfg_ch):
                         tr_sel = jax.tree.map(
@@ -481,7 +527,7 @@ def main() -> int:
                     tr_ch, fit_ch, owins_ch, o_fl = overlap_rerun(
                         coresolve, fit_ch, cfg.overlap_threshold,
                         cfg.escalate_pad, cfg.overlap_adopt_margin,
-                        result=tr_ch, chunk=cfg.escalate_pad)
+                        result=tr_ch, chunk=cfg.escalate_pad, flags=oflags)
                     if o_fl:
                         log(f"challenge/{scenario} overlap rung "
                             f"{_short_cfg(ocfg_ch)}: {o_fl} flagged, "

@@ -234,6 +234,16 @@ class KSSICPConfig:
     # throughput and accuracy are untouched.
     overlap_escalate: bool = True
     overlap_adopt_margin: float = 0.7
+    # Crop-signature pre-gate: the overlap rungs only launch for flagged
+    # pairs whose (bidirectional trimmed fitness) / (standard fitness)
+    # ratio is BELOW this — a heavy error tail, the signature of a crop or
+    # a wrong basin. Full-overlap pairs stuck at their sampling-density
+    # floor score >= 1.19 (uniform error: trimming buys little and the
+    # reverse direction adds its own floor), partial incumbents 0.41-0.97
+    # (measured r4, serving + partial corpora) — 1.05 sits mid-gap and
+    # stops the perpetual floor pairs from paying two overlap solves every
+    # serving pass (0.67 + 2.9 s/chunk).
+    overlap_gate_ratio: float = 1.05
 
     # --- Symmetric-pose tie-break (no reference analogue) ---
     # On near-symmetric shapes several multi-start basins converge to

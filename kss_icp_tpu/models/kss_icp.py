@@ -732,9 +732,14 @@ def register_pair(
             a = (src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0])
             for ocfg in (cfg.overlap_config(),
                          cfg.escalation_config().overlap_config()):
-                res_o = register_overlap_resampled(*a, ocfg)
                 q = ocfg.overlap_trim_fraction
                 tf_old = float(trimmed_fitness(res.transform, *a, q))
+                # Crop-signature gate (KSSICPConfig.overlap_gate_ratio):
+                # skip the heavy solve when the incumbent's error has no
+                # heavy tail (full-overlap density floor).
+                if tf_old >= cfg.overlap_gate_ratio * float(res.fitness):
+                    continue
+                res_o = register_overlap_resampled(*a, ocfg)
                 tf_new = float(res_o.fitness)
                 if tf_new < cfg.overlap_adopt_margin * tf_old:
                     aligned = apply_similarity(res_o.transform, a[0])

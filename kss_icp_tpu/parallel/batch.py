@@ -200,6 +200,35 @@ def register_many(
             # Two rungs — coarse-grid then fine-grid overlap solves fix
             # COMPLEMENTARY basins (see register_pair); each adoption
             # updates the incumbent the next rung must beat by the margin.
+            from kss_icp_tpu.models.kss_icp import trimmed_fitness
+
+            q = cfg.overlap_trim_fraction
+            tf_batch = jax.jit(jax.vmap(
+                lambda a, b, c, d, t: trimmed_fitness(t, a, b, c, d, q)))
+            ep = ecfg.escalate_pad
+
+            def gated_flags():
+                # Crop-signature gate (KSSICPConfig.overlap_gate_ratio):
+                # only launch the heavy solves where the incumbent's error
+                # carries a heavy tail.
+                fit_np = np.asarray(res.fitness)
+                base = fit_np > cfg.overlap_threshold
+                idxs = np.nonzero(base)[0]
+                if idxs.size == 0:
+                    return base
+                selp = np.concatenate(
+                    [idxs, np.repeat(idxs[:1], (ep - idxs.size % ep) % ep)])
+                out = np.zeros_like(base)
+                sel_j = jnp.asarray(selp)
+                tfv = np.asarray(tf_batch(
+                    sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
+                    jax.tree.map(lambda x: jnp.asarray(x)[sel_j],
+                                 res.transform)))
+                for j, gi in enumerate(selp):
+                    if tfv[j] < cfg.overlap_gate_ratio * fit_np[gi]:
+                        out[gi] = True
+                return out
+
             for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
                 def oresolve(sel, _oc=ocfg):
                     sel_j = jnp.asarray(sel)
@@ -211,8 +240,8 @@ def register_many(
 
                 tr_np, fit, _, _ = overlap_rerun(
                     oresolve, res.fitness, cfg.overlap_threshold,
-                    ecfg.escalate_pad, cfg.overlap_adopt_margin,
-                    result=res.transform, chunk=ecfg.escalate_pad,
+                    ep, cfg.overlap_adopt_margin,
+                    result=res.transform, chunk=ep, flags=gated_flags(),
                 )
                 res = res._replace(
                     transform=jax.tree.map(jnp.asarray, tr_np),

@@ -48,7 +48,7 @@ def main() -> int:
         nsat = None
     cfg = bench.bench_config()
     ecfg = cfg.escalation_config()
-    pipeline, measure_all, polish, overlap = bench.make_programs()
+    pipeline, measure_all, polish, overlap, trimmed_probe = bench.make_programs()
 
     f32 = jax.ShapeDtypeStruct
     P = bench.FULL_PAD
@@ -120,6 +120,10 @@ def main() -> int:
             rotation=f32((k, 3, 3), np.float32),
             translation=f32((k, 3), np.float32),
         )
+        t0 = time.perf_counter()
+        trimmed_probe.lower(*shapes(k), tr_k, cfg).compile()
+        done.append(("trimmed probe", time.perf_counter() - t0))
+        log(f"primed trimmed probe: {done[-1][1]:.1f}s")
         for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
             t0 = time.perf_counter()
             overlap.lower(*shapes(k), tr_k, ocfg).compile()
