@@ -95,3 +95,31 @@ def test_two_stage_converge_matches_single_stage():
     # Same solve, same floor: identical up to restart bookkeeping noise.
     assert abs(float(m1["rmse"][0]) - float(m2["rmse"][0])) < 2e-3, (
         m1["rmse"], m2["rmse"])
+
+
+def test_escalate_rerun_difficulty_sort_chunks():
+    """Chunked escalation sorts worst-fitness rows first (r4: easy chunks
+    exit their lockstep loops early) while keep-better semantics hold."""
+    import numpy as np
+
+    from kss_icp_tpu.escalate import escalate_rerun
+
+    fitness = np.array([0.001, 0.9, 0.002, 0.5, 0.003, 0.7], np.float32)
+    seen = []
+
+    def resolve(sel):
+        seen.append(list(sel))
+        return {"x": np.asarray(sel, np.float32)[:, None]}, \
+            np.full(len(sel), 1e-4, np.float32)
+
+    result = {"x": np.zeros((6, 1), np.float32)}
+    out, fit, wins, n = escalate_rerun(
+        resolve, fitness, 0.1, pad_multiple=2, result=result, chunk=2)
+    assert n == 3
+    # padding repeats flagged[0] (idx 1) BEFORE the sort; chunks must then
+    # be ordered worst-first: [1(0.9), 1(pad)] then [5(0.7), 3(0.5)]
+    assert seen[0] == [1, 1] and seen[1] == [5, 3], seen
+    # keep-better merged all three flagged rows
+    assert np.allclose(fit[[1, 3, 5]], 1e-4)
+    assert out["x"][1, 0] == 1 and out["x"][3, 0] == 3 and out["x"][5, 0] == 5
+    assert out["x"][0, 0] == 0  # unflagged rows untouched

@@ -190,3 +190,52 @@ def test_pose_tiebreak_select_prefers_true_pose():
     pick = _pose_tiebreak_select(
         fits, jnp.asarray(cand), mask, tgt_j, mask, cfg)
     assert int(pick) == 0  # the true pose, against argmin(fit)
+
+
+def test_overlap_gate_ratio_signature(rng):
+    """The crop-signature gate's premise (r4): the pairs that sit above
+    the escalation trigger WITHOUT being partial are density-mismatched
+    remesh pairs (sparse .gird source vs dense .wlop target) — their
+    reverse NN direction carries its own large floor, so bidirectional
+    trimmed / standard fitness lands >= ~1 (measured 1.19-1.24 on the
+    serving corpus); a partial pair's crop tail pushes it well below
+    (measured 0.41-0.97)."""
+    import jax.numpy as jnp
+
+    from kss_icp_tpu.core.transforms import Similarity
+    from kss_icp_tpu.models.kss_icp import trimmed_fitness
+    from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
+
+    t = rng.uniform(-1, 1, (1200, 2))
+    surf = np.concatenate(
+        [t, 0.4 * np.sin(2 * t[:, :1]) * np.cos(t[:, 1:2])], -1
+    ).astype(np.float32)
+    ident = Similarity.identity()
+
+    def ratio(src, tgt):
+        spj, tpj = jnp.asarray(src), jnp.asarray(tgt)
+        smj = jnp.ones(len(src), bool)
+        tmj = jnp.ones(len(tgt), bool)
+        tf = float(trimmed_fitness(ident, spj, smj, tpj, tmj, 0.7))
+        fit = float(masked_mean_nn_sqdist(spj, smj, tpj, tmj))
+        return tf / fit
+
+    # full overlap, density-mismatched (the real floor-pair shape):
+    # sparse independent sampling of the same surface as source
+    t2 = rng.uniform(-1, 1, (400, 2))
+    sparse = np.concatenate(
+        [t2, 0.4 * np.sin(2 * t2[:, :1]) * np.cos(t2[:, 1:2])], -1
+    ).astype(np.float32)
+    r_full = ratio(sparse, surf)
+
+    # partial: equal density, a 30% crop's worth of off-surface points
+    t3 = rng.uniform(-1, 1, (1200, 2))
+    src_part = np.concatenate(
+        [t3, 0.4 * np.sin(2 * t3[:, :1]) * np.cos(t3[:, 1:2])], -1
+    ).astype(np.float32)
+    src_part[:360] += np.array([0, 0, 0.35], np.float32)
+    r_part = ratio(src_part, surf)
+
+    assert r_full > 1.0, r_full
+    assert r_part < 0.6, r_part
+    assert r_part < r_full * 0.6  # the gate has real separation
