@@ -261,16 +261,23 @@ def transform_rmse(recovered_aligned: np.ndarray, src: np.ndarray,
     return float(np.sqrt(np.mean(np.sum(d * d, axis=-1))))
 
 
-def category_corpus(instances: int = 5, n_points: int = 6000) -> List[Pair]:
+def category_corpus(instances: int = 8, n_points: int = 6000) -> List[Pair]:
     """ModelNet40-analogue: [(name, source, target, gt)] — source and
     target are two independent samplings of one procedural instance, the
-    source perturbed by a hard similarity."""
+    source perturbed by a hard similarity.
+
+    Grown 5 -> 8 instances per family in round 5 (VERDICT r4 item 8:
+    anti-overfitting margin). The ground-truth index mapping keeps the
+    first five instances of each family BIT-IDENTICAL to the round-4
+    corpus (k = f*5 + i as before); new instances draw fresh perturbation
+    indices beyond 20 so no existing pair changes."""
     out = []
     for f, (fname, _) in enumerate(FAMILIES):
         for i in range(instances):
             tgt = _instance(f, i, n_points, sample=0)
             base = _instance(f, i, n_points, sample=1)
-            gt = _gt(f * instances + i)
+            k = f * 5 + i if i < 5 else 20 + f * (instances - 5) + (i - 5)
+            gt = _gt(k)
             out.append((f"{fname}/{i}", _apply_gt(base, gt), tgt, gt))
     return out
 
@@ -317,6 +324,14 @@ def partial_corpus(n_points: int = 6000, keep: float = 0.92,
             n_out = int(outlier_frac * len(tgt_c))
             tgt_c = np.concatenate(
                 [tgt_c, rng.uniform(-1, 1, (n_out, 3))], axis=0)
+            # Outliers on BOTH sides (round 5, VERDICT r4 item 8): real
+            # sensor sweeps contaminate both scans. Drawn AFTER the target's
+            # outliers so the round-4 target clouds stay bit-identical; the
+            # source outliers ride through _apply_gt like every other source
+            # point, so the pose-error criterion stays well-defined.
+            n_out_s = int(outlier_frac * len(base_c))
+            base_c = np.concatenate(
+                [base_c, rng.uniform(-1, 1, (n_out_s, 3))], axis=0)
             gt = _gt(k)
             out.append((f"part/{fname}{i}",
                         _apply_gt(base_c.astype(np.float32), gt),
@@ -351,6 +366,25 @@ def deform_corpus(n_points: int = 6000, amplitude: float = 0.04) -> List[Pair]:
     return out
 
 
+def scale_corpus(n_points: int = 6000) -> List[Pair]:
+    """Scale-extreme tier (round 5, VERDICT r4 item 8): the category
+    protocol at ground-truth scales 0.3x and 3x — an order of magnitude
+    apart, bracketing the golden registration_scale corpus (0.6-2.3x).
+    Exercises the Kendall pre-shape scale normalization
+    (initRegistrationKSS.hpp:144-220 — scale = mean distance-to-centroid
+    ratio) at the extremes; pose error is measured in the TARGET frame
+    (truth_aligned divides by s), so the 0.20 basin bar applies unchanged."""
+    out = []
+    for f, (fname, _) in enumerate(FAMILIES):
+        for j, s in enumerate((0.3, 3.0)):
+            tgt = _instance(f, j, n_points, sample=0)
+            base = _instance(f, j, n_points, sample=1)
+            rx, ry, rz, _, t = _PERTURB[(f + j) % len(_PERTURB)]
+            gt = {"R": rot_xyz(rx, ry, rz), "s": s, "t": np.full(3, t)}
+            out.append((f"scl/{fname}{j}", _apply_gt(base, gt), tgt, gt))
+    return out
+
+
 def challenge_corpus(include_hard: bool = False) -> List[Tuple[str, List[Pair], float]]:
     """All three scenarios with their pose-error success thresholds:
     [(scenario, pairs, threshold)].
@@ -374,10 +408,11 @@ def challenge_corpus(include_hard: bool = False) -> List[Tuple[str, List[Pair], 
         ("category", category_corpus(), 0.20),
         ("partial", partial_corpus(), 0.20),
         ("deform", deform_corpus(), 0.12),
+        ("scale", scale_corpus(), 0.20),
     ]
     if include_hard:
-        # ~60% overlap: the overlap escalation tier recovers 7/8 at 0.20
-        # (round 4; was 1/8 before the tier existed) — kept out of the
-        # default set to bound bench time, in for capability audits.
+        # ~60% overlap — driver-visible since round 5 (VERDICT r4 item 4:
+        # bench.py passes include_hard=True so the hard tier's rate lands
+        # in every BENCH_r{N}.json instead of living in a script audit).
         out.append(("partial_hard", partial_corpus(keep=0.8), 0.20))
     return out

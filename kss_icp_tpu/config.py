@@ -182,6 +182,30 @@ class KSSICPConfig:
     overlap_threshold: float = 1.8e-3
     escalate_rotation_steps: int = 16
     escalate_max_candidates: int = 16
+    # --- Escalation-pass fidelity (round 5; VERDICT r4 item 1) ---
+    # The r4 escalation pass re-scanned the FULL 16^3 = 4096-rotation grid
+    # at full 2048x2048 fidelity — ~1.9 s/pass steady, the honest
+    # end-to-end serving bottleneck (value_saturated_e2e 34 pairs/s vs 190
+    # batch). The r4 failure analysis (scripts/symmetry_experiment.py)
+    # showed escalation failures were THRESHOLD blindness, not ranking
+    # fidelity: the true basin ranked FIRST in screen and full-converge
+    # fitness wherever it was in the candidate list. So the fine field may
+    # score on FPS prefixes exactly like the base pass (the field only
+    # ranks; every candidate still gets full-resolution ICP refinement).
+    # These knobs set the escalation tier's prefix sizes (0 = full
+    # fidelity, the r4 behavior). Contract being beaten: the reference's
+    # exhaustive grid, initRegistrationKSS.hpp:222-296. Values are set by
+    # the round-5 measured ladder (BASELINE.md): per-pair RMSE and
+    # challenge poses must be identical to full fidelity, or the knob
+    # stays 0.
+    escalate_coarse_points: int = 0
+    escalate_coarse_target_points: int = 0
+    escalate_screen_target_points: int = 0
+    # Two-tier refine inside the escalation solve (0 = off = full converge
+    # on all escalate refine candidates; N > 0 = capped N-iteration ranking
+    # tier + single-lane full converge, same machinery as
+    # refine_tier_iterations).
+    escalate_refine_tier_iterations: int = 0
     # Escalation re-solve batch is padded (by repetition) to a multiple of
     # this, bounding the number of distinct XLA programs the second pass can
     # compile (shape-specialized jit; compiles through the TPU tunnel are
@@ -337,20 +361,23 @@ class KSSICPConfig:
 
     def escalation_config(self) -> "KSSICPConfig":
         """The finer-grid config used for the fitness-flagged second pass
-        (auto_escalate). EVERY ranking-only shortcut is disabled — full
-        source and target clouds in the field, uncapped refinement — because
-        escalation exists precisely for the pairs where ranking fidelity
-        failed."""
+        (auto_escalate). Ranking shortcuts are reset to the
+        escalate_* fidelity knobs (default 0 = full fidelity — the r4
+        behavior); the r4 failure analysis showed escalation failures were
+        threshold blindness rather than ranking fidelity, so the round-5
+        serving config lowers the fine field to prefix fidelity after a
+        measured per-pair parity audit (see the escalate_coarse_points
+        docstring)."""
         return dataclasses.replace(
             self,
             rotation_steps=self.escalate_rotation_steps,
             max_candidates=self.escalate_max_candidates,
             refine_candidates=max(self.refine_candidates, 4),
             pose_tiebreak_margin=self.escalate_pose_tiebreak,
-            coarse_points=0,
-            coarse_target_points=0,
-            screen_target_points=0,
-            refine_tier_iterations=0,
+            coarse_points=self.escalate_coarse_points,
+            coarse_target_points=self.escalate_coarse_target_points,
+            screen_target_points=self.escalate_screen_target_points,
+            refine_tier_iterations=self.escalate_refine_tier_iterations,
             refine_tier_target_points=0,
             # 128 bounds pathological while_loop tails at ZERO measured
             # accuracy cost (r4 probe: per-pair RMSE identical to uncapped

@@ -46,6 +46,7 @@ def escalate_rerun(
     cap: Optional[int] = None,
     chunk: Optional[int] = None,
     flags: Optional[np.ndarray] = None,
+    near_tie_margin: float = 0.0,
 ):
     """Run the flag -> padded re-solve -> keep-better pass.
 
@@ -68,6 +69,16 @@ def escalate_rerun(
         fixed batch-B program this way).
       flags: optional (B,) boolean row selection overriding the fitness
         threshold (polish_rerun selects by RegistrationResult.refine_hit_cap).
+      near_tie_margin: adopt the re-solve when
+        fit2 < fitness * (1 + near_tie_margin), not only on strict
+        improvement. Rationale (ADVICE r4): the escalation config enables
+        the symmetric-pose tie-break, whose premise is that the TRUE pose
+        can have slightly worse mean-squared fitness than a slid symmetric
+        impostor — strict keep-better would discard exactly that
+        correction. 0 (the default) preserves strict keep-better; the
+        adopted row's RECORDED fitness is always the adopted solve's own
+        (never the discarded incumbent's), so downstream tiers gate on an
+        honest value.
 
     Returns `(result, fitness, wins, n_flagged)` where `wins` is a list of
     `(global_index, chunk_result_tree, row_in_chunk)` for every row the
@@ -101,7 +112,7 @@ def escalate_rerun(
         fit2 = np.asarray(fit2)
         res2_np = None
         for j, gi in enumerate(csel):
-            if fit2[j] < fitness[gi]:
+            if fit2[j] < fitness[gi] * (1.0 + near_tie_margin):
                 fitness[gi] = fit2[j]
                 wins.append((int(gi), res2, j))
                 if result is not None:

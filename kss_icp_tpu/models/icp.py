@@ -231,6 +231,15 @@ def icp(
     mean squared NN distance over the same quantile (the metric a partial
     pair can actually drive to zero).
     """
+    if trim_fraction and axis_name is not None:
+        # The per-iteration quantile gate and the trimmed fitness sort only
+        # the LOCAL shard's distances — combining trimmed ICP with a sharded
+        # point axis would silently compute per-shard quantiles (ADVICE r4).
+        # A distributed quantile needs an all_gather of the distance vector;
+        # unimplemented because overlap mode never shards points.
+        raise ValueError(
+            "trim_fraction > 0 is incompatible with a sharded point axis "
+            "(per-shard quantiles are not global quantiles)")
     dtype = source.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     max_d2 = params.max_correspondence_distance.astype(dtype) ** 2

@@ -715,6 +715,17 @@ def register_pair(
         )
         if wins:
             res = wins[-1][1]
+        if bool(res.refine_hit_cap):
+            # The escalation solve itself runs capped (128 iterations,
+            # config.escalation_config) — a lane still unconverged after the
+            # keep-better merge is finished by an uncapped warm-started
+            # continuation (ADVICE r4: no silent-ship one tier up).
+            tot, fit2, _ = polish_resampled(
+                src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0],
+                res.transform, cfg.escalation_config())
+            if float(fit2) < float(res.fitness):
+                res = res._replace(transform=tot, fitness=fit2)
+            res = res._replace(refine_hit_cap=jnp.asarray(False))
         if (cfg.overlap_escalate
                 and float(res.fitness) > cfg.overlap_threshold):
             # Overlap tier (VERDICT r3 item 1): fitness still poor after the

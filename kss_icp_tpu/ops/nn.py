@@ -124,11 +124,21 @@ def trimmed_masked_mean(
     vm = jnp.where(mask, values, _BIG)
     vs = jnp.sort(vm, axis=-1)                       # ascending, invalid last
     nvalid = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    k = jnp.clip((trim_fraction * nvalid.astype(dtype)).astype(jnp.int32),
+    k = jnp.clip(_trim_count(nvalid, trim_fraction),
                  1, jnp.maximum(nvalid, 1))
     csum = jnp.cumsum(vs, axis=-1)
     picked = jnp.take_along_axis(csum, (k - 1)[..., None], axis=-1)[..., 0]
     return picked / k.astype(dtype)
+
+
+def _trim_count(nvalid: jnp.ndarray, q: float) -> jnp.ndarray:
+    """ceil(q * nvalid) computed stably: an f32 product at an exact-integer
+    value can round to either side (0.7 * 1000 -> 699.99994), so a plain
+    cast-truncation drops one element versus the documented rank on some
+    platforms/dtypes (ADVICE r4). The 1e-3 guard absorbs f32 rounding at any
+    realistic nvalid (error ~ nvalid * 1.2e-7 < 1e-3 for nvalid < 8192)
+    while leaving genuine fractional products on their ceil."""
+    return jnp.ceil(q * nvalid.astype(jnp.float32) - 1e-3).astype(jnp.int32)
 
 
 def masked_quantile_threshold(
@@ -143,8 +153,7 @@ def masked_quantile_threshold(
     vm = jnp.where(mask, values, _BIG)
     vs = jnp.sort(vm, axis=-1)
     nvalid = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    k = jnp.clip((q * nvalid.astype(values.dtype)).astype(jnp.int32),
-                 1, jnp.maximum(nvalid, 1))
+    k = jnp.clip(_trim_count(nvalid, q), 1, jnp.maximum(nvalid, 1))
     return jnp.take_along_axis(vs, (k - 1)[..., None], axis=-1)[..., 0]
 
 

@@ -20,6 +20,12 @@ from kss_icp_tpu.config import DEFAULT_CONFIG, KSSICPConfig
 from kss_icp_tpu.models.kss_icp import RegistrationResult, register_resampled
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
 def _vmapped(cfg: KSSICPConfig):
     def one(sp, sm, tp, tm):
         return register_resampled(sp, sm, tp, tm, cfg)
@@ -66,6 +72,38 @@ def register_batch(
         target_points = jax.lax.with_sharding_constraint(target_points, shard)
         target_mask = jax.lax.with_sharding_constraint(target_mask, shard)
     return _vmapped(cfg)(source_points, source_mask, target_points, target_mask)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "pair_axis"))
+def overlap_batch(
+    source_points: jnp.ndarray,   # (B, P, 3) resampled
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    baseline,                     # (B,) incumbent Similarity tree
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+    pair_axis: str = "pairs",
+):
+    """Overlap-tier resolve sharded over the pairs mesh (VERDICT r4 item 5):
+    the escalation ladder's heaviest stage must not pin to one device on a
+    pod. Same contract as models/kss_icp.overlap_solve_batch; falls back to
+    the unmeshed program when B does not divide the axis."""
+    from kss_icp_tpu.models.kss_icp import overlap_solve_batch
+
+    if mesh is not None and source_points.shape[0] % mesh.shape[pair_axis] == 0:
+        spec = P(pair_axis)
+        fn = jax.shard_map(
+            partial(overlap_solve_batch, cfg=cfg),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec),
+            out_specs=(spec, spec, spec, spec),
+            check_vma=False,
+        )
+        return fn(source_points, source_mask, target_points, target_mask,
+                  baseline)
+    return overlap_solve_batch(source_points, source_mask, target_points,
+                               target_mask, baseline, cfg)
 
 
 def register_many(
@@ -163,29 +201,73 @@ def register_many(
 
         ecfg = escalate_cfg or cfg.escalation_config()
 
-        # Re-register only the flagged pairs (no mesh: the subset is small
-        # and ragged relative to the device count).
+        # Re-register only the flagged pairs (sharded over the pairs mesh
+        # when one is supplied — VERDICT r4 item 5: on a pod the escalation
+        # pass is the e2e bottleneck, so pinning it to one device compounds
+        # the gap; the selection is padded by repetition to a multiple of
+        # the mesh size so shard_map always sees a divisible batch).
+        esc_pad = ecfg.escalate_pad
+        if mesh is not None:
+            esc_pad = _lcm(esc_pad, mesh.shape["pairs"])
+
         def resolve(sel):
             sel_j = jnp.asarray(sel)
-            r2 = register_batch(sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j], ecfg)
-            return r2.transform, np.asarray(r2.fitness)
+            r2 = register_batch(sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
+                                ecfg, mesh=mesh)
+            return (r2.transform, np.asarray(r2.refine_hit_cap)), \
+                np.asarray(r2.fitness)
 
         # Selection: fitness-flagged pairs, plus — when no polish pass ran —
         # lanes whose capped final converge ran out of budget
         # (refine_hit_cap): an unconverged lane must not ship silently just
         # because its fitness sits under the threshold (ADVICE r3). The
-        # escalation solve is uncapped, so it always finishes them.
+        # escalation solve itself runs under a 128-iteration cap
+        # (config.escalation_config), so its OWN hit-cap flag is merged
+        # alongside the transform and any lane still unfinished after the
+        # keep-better merge — an escalated win that hit the 128 cap, or a
+        # capped incumbent the escalation failed to beat — is finished by an
+        # uncapped warm-started polish below (ADVICE r4).
         flags = np.asarray(res.fitness) > escalate_threshold
         if not (cfg.refine_polish_iterations and cfg.refine_max_iterations):
             flags = flags | np.asarray(res.refine_hit_cap)
-        tr_np, fit, _, _ = escalate_rerun(
-            resolve, res.fitness, escalate_threshold, ecfg.escalate_pad,
-            result=res.transform, flags=flags,
+        merged, fit, _, _ = escalate_rerun(
+            resolve, res.fitness, escalate_threshold, esc_pad,
+            result=(res.transform, np.asarray(res.refine_hit_cap)),
+            flags=flags,
         )
+        tr_np, hit_np = merged
         res = res._replace(
             transform=jax.tree.map(jnp.asarray, tr_np),
             fitness=jnp.asarray(fit),
+            refine_hit_cap=jnp.asarray(hit_np),
         )
+
+        hit_np = np.asarray(hit_np).astype(bool)
+        if hit_np.any():
+            # Uncapped finisher for lanes still unconverged after the
+            # escalation merge (ADVICE r4): warm-started full converge from
+            # the current composed transform (polish_resampled with
+            # refine_polish_iterations=0 runs to max_icp_iterations).
+            from kss_icp_tpu.escalate import polish_rerun
+            from kss_icp_tpu.models.kss_icp import polish_resampled
+
+            def finish_resolve(sel):
+                sel_j = jnp.asarray(sel)
+                tot, fit2, _ = jax.vmap(
+                    lambda a, b, c, d, t: polish_resampled(a, b, c, d, t, ecfg)
+                )(sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
+                  jax.tree.map(lambda x: jnp.asarray(np.asarray(x))[sel_j],
+                               res.transform))
+                return tot, np.asarray(fit2)
+
+            tr_np, fit, _, _ = polish_rerun(
+                finish_resolve, hit_np, res.fitness, esc_pad,
+                result=res.transform)
+            res = res._replace(
+                transform=jax.tree.map(jnp.asarray, tr_np),
+                fitness=jnp.asarray(fit),
+                refine_hit_cap=jnp.zeros_like(res.refine_hit_cap),
+            )
 
         if cfg.overlap_escalate:
             # Overlap tier (VERDICT r3 item 1): pairs still fitness-flagged
@@ -193,9 +275,6 @@ def register_many(
             # by the bidirectional trimmed-fitness margin (escalate.
             # overlap_rerun). Full-overlap corpora never reach this tier.
             from kss_icp_tpu.escalate import overlap_rerun
-            from kss_icp_tpu.models.kss_icp import (
-                overlap_solve_batch,
-            )
 
             # Two rungs — coarse-grid then fine-grid overlap solves fix
             # COMPLEMENTARY basins (see register_pair); each adoption
@@ -205,7 +284,7 @@ def register_many(
             q = cfg.overlap_trim_fraction
             tf_batch = jax.jit(jax.vmap(
                 lambda a, b, c, d, t: trimmed_fitness(t, a, b, c, d, q)))
-            ep = ecfg.escalate_pad
+            ep = esc_pad
 
             def gated_flags():
                 # Crop-signature gate (KSSICPConfig.overlap_gate_ratio):
@@ -234,9 +313,9 @@ def register_many(
                     sel_j = jnp.asarray(sel)
                     tr_sel = jax.tree.map(
                         lambda x: jnp.asarray(x)[sel_j], res.transform)
-                    return overlap_solve_batch(
+                    return overlap_batch(
                         sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
-                        tr_sel, _oc)
+                        tr_sel, _oc, mesh=mesh)
 
                 tr_np, fit, _, _ = overlap_rerun(
                     oresolve, res.fitness, cfg.overlap_threshold,

@@ -39,7 +39,7 @@ def main() -> int:
                              else "48,16,12,8").split(",")]
     cfg0 = bench.bench_config()
     ecfg = cfg0.escalation_config()
-    pipeline, measure_all, _, _ = bench.make_programs()
+    _progs = bench.make_programs(); pipeline, measure_all = _progs[0], _progs[1]
 
     golden = golden_corpus()
     b = len(golden)

@@ -30,7 +30,7 @@ def main() -> int:
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--scenario", default=None,
                     choices=[None, "category", "partial", "deform",
-                             "partial_hard"])
+                             "scale", "partial_hard"])
     ap.add_argument("--no-escalate", action="store_true")
     ap.add_argument("--json", default=None, metavar="FILE",
                     help="write the summary dict as JSON")

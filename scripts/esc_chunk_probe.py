@@ -24,7 +24,7 @@ def main():
 
     cfg = bench.bench_config()
     ecfg = cfg.escalation_config()
-    pipeline, measure_all, _, _ = bench.make_programs()
+    _progs = bench.make_programs(); pipeline, measure_all = _progs[0], _progs[1]
     golden = golden_corpus()
     allp = golden + stress_corpus() + [
         (nm, s, t) for nm, s, t, _ in remesh_corpus()]

@@ -28,7 +28,7 @@ def main():
 
     cfg = bench.bench_config()
     ecfg = cfg.escalation_config()
-    pipeline, _, _, overlap_prog = bench.make_programs()
+    _progs = bench.make_programs(); pipeline, overlap_prog = _progs[0], _progs[3]
     keep = float(sys.argv[1]) if len(sys.argv) > 1 else 0.92
     pairs = partial_corpus(keep=keep)
     n = len(pairs)

@@ -48,7 +48,7 @@ def main() -> int:
         nsat = None
     cfg = bench.bench_config()
     ecfg = cfg.escalation_config()
-    pipeline, measure_all, polish, overlap, trimmed_probe = bench.make_programs()
+    pipeline, measure_all, polish, overlap, trimmed_probe, finish = bench.make_programs()
 
     f32 = jax.ShapeDtypeStruct
     P = bench.FULL_PAD
@@ -106,6 +106,20 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 done.append((f"polish {k}-of-{n}", dt))
                 log(f"primed polish {k}-of-{n}: {dt:.1f}s")
+
+    # Finisher program (ADVICE r4: uncapped continuation of lanes still
+    # hit-capped after the escalation merge) — pre-gathered escalate_pad
+    # chunk, escalation config.
+    k = cfg.escalate_pad
+    tr_fin = Similarity(
+        scale=f32((k,), np.float32),
+        rotation=f32((k, 3, 3), np.float32),
+        translation=f32((k, 3), np.float32),
+    )
+    t0 = time.perf_counter()
+    finish.lower(*shapes(k), tr_fin, ecfg).compile()
+    done.append(("finisher", time.perf_counter() - t0))
+    log(f"primed finisher: {done[-1][1]:.1f}s")
 
     # Overlap-tier program (one escalate_pad-sized chunk per batch shape):
     # the 16^3 x overlap_iterations solve only fires for pairs still

@@ -44,7 +44,7 @@ def main() -> int:
     from kss_icp_tpu.stress import golden_corpus, remesh_corpus, stress_corpus
 
     cfg = bench.bench_config()
-    pipeline, _, _, _ = bench.make_programs()
+    pipeline = bench.make_programs()[0]
 
     golden = golden_corpus()
     allp = golden + stress_corpus() + [

@@ -57,7 +57,7 @@ def main() -> int:
     tiles = [int(t) for t in opt("--tiles", "1,2,4,8").split(",")]
 
     cfg0 = bench.bench_config()
-    pipeline, measure_all, _, _ = bench.make_programs()
+    _progs = bench.make_programs(); pipeline, measure_all = _progs[0], _progs[1]
 
     golden = golden_corpus()
     b = len(golden)

@@ -100,6 +100,44 @@ def main() -> int:
               f"-> {thr:8.2f} pairs/s", file=sys.stderr)
         del _np
 
+    # --- escalating batch (round 5, VERDICT r4 item 5): the full ladder —
+    # base pass + escalate_rerun + overlap rungs — host-chunked and
+    # dispatched through the SAME mesh. Thresholds forced so every tier
+    # launches; measures the sharded ladder's partitioning overhead.
+    import dataclasses
+
+    from kss_icp_tpu.parallel.batch import register_many
+
+    force = dataclasses.replace(
+        cfg, escalate_threshold=0.0, overlap_threshold=0.0,
+        overlap_gate_ratio=100.0, escalate_rotation_steps=8)
+    esc_results = {}
+    for nd in sorted({1, n_dev}):
+        if nd > jax.device_count():
+            continue
+        if nd > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.devices()[:nd]), axis_names=("pairs",))
+        else:
+            mesh = None
+        b = args.pairs_per_device * nd
+        src, _sm = batch_for(b, 1)
+        tgt, _tm = batch_for(b, 2)
+        pair_list = [(src[i], tgt[i]) for i in range(b)]
+        register_many(pair_list, force, mesh=mesh,
+                      full_pad=cfg.resample_pad)  # compile
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            register_many(pair_list, force, mesh=mesh,
+                          full_pad=cfg.resample_pad)
+            ts.append(time.perf_counter() - t0)
+        esc_results[nd] = b / min(ts)
+        print(f"[escalating] devices={nd:2d} batch={b:3d} "
+              f"{min(ts)*1e3:8.1f} ms -> {esc_results[nd]:8.2f} pairs/s",
+              file=sys.stderr)
+
     base = results.get(1)
     effs = {
         nd: thr / (base * nd) for nd, thr in results.items() if base and nd > 1
@@ -120,6 +158,17 @@ def main() -> int:
         out["partition_overhead"] = {
             nd: (base * nd) / thr / nd for nd, thr in results.items() if nd > 1
         }
+    out["escalating_throughput_pairs_per_sec"] = esc_results
+    ebase = esc_results.get(1)
+    if ebase:
+        if args.tpu:
+            out["escalating_efficiency_vs_1dev"] = {
+                nd: thr / (ebase * nd)
+                for nd, thr in esc_results.items() if nd > 1}
+        else:
+            out["escalating_partition_overhead"] = {
+                nd: (ebase * nd) / thr / nd
+                for nd, thr in esc_results.items() if nd > 1}
     print(json.dumps(out))
     return 0
 

@@ -69,7 +69,7 @@ def test_transform_rmse_zero_for_truth():
 
 def test_scenarios_registry():
     scen = challenge_corpus()
-    assert [s[0] for s in scen] == ["category", "partial", "deform"]
+    assert [s[0] for s in scen] == ["category", "partial", "deform", "scale"]
     assert all(len(s[1]) > 0 for s in scen)
 
 

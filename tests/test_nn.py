@@ -188,11 +188,16 @@ class TestTrimmedOps:
         m = jnp.ones(4, bool)
         assert float(masked_quantile_threshold(v, m, 0.5)) == 2.0
         assert float(masked_quantile_threshold(v, m, 1.0)) == 4.0
-        # batched + masked
+        # batched + masked; rank = ceil(q * n_valid) (ADVICE r4: a float32
+        # cast-truncation dropped one element at fractional products —
+        # ceil(0.67*4) = 3, ceil(0.67*3) = 3).
         vb = jnp.stack([v, jnp.asarray([10.0, 20.0, 30.0, 1e30])])
         mb = jnp.asarray([[True] * 4, [True, True, True, False]])
         out = masked_quantile_threshold(vb, mb, 0.67)
-        np.testing.assert_allclose(np.asarray(out), [2.0, 20.0])
+        np.testing.assert_allclose(np.asarray(out), [3.0, 30.0])
+        # Exact-integer products must not lose an element to f32 rounding
+        # (0.5 * 4 = 2 exactly, whatever the platform).
+        assert float(masked_quantile_threshold(v, m, 0.25)) == 1.0
 
     def test_trim_metric_prefers_overlap_alignment(self, rng):
         """The 'trim' field metric scores a correct partial alignment below
