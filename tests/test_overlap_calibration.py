@@ -6,22 +6,31 @@ bidirectional trimmed fitness beats the incumbent's by this ratio) and
 ``overlap_gate_ratio = 1.05`` (launch the overlap solve only when the
 incumbent's trimmed/standard fitness ratio shows a heavy error tail) —
 were calibrated on thin populations (12 adoption decisions, one gate
-sweep; config.py:219-249). This test recomputes both ratio populations on
-a small fixed corpus so a corpus or solver change that closes either gap
-fails HERE, not on the challenge board:
+sweep; config.py). This test recomputes both ratio populations on a small
+fixed corpus so a corpus or solver change that closes either gap fails
+HERE, not on the challenge board.
 
-  adoption:  genuine partial-overlap wins must adopt (ratio < margin) and
-             full-overlap density-floor solves must block (ratio > margin),
-             with >= 1.15x separation between the two populations across
-             the margin;
-  gate:      partial incumbents must pass the crop-signature gate
-             (trimmed/standard < gate_ratio) and well-converged
-             full-overlap solves must be stopped by it, again with
-             >= 1.15x separation.
+Fixed corpus + measured populations (round 5, CPU, x64 off; the corpus
+includes the round-5 bilateral partial outliers):
 
-Sizes are reduced (2000-point clouds, 8^3 grid) to bound CPU runtime; the
-populations at this scale were measured in round 5 and sit in the same
-gaps as the production-scale numbers recorded in config.py.
+  wins   (partial box pairs, the 8^3-rung adoption cases):
+         part/box0@keep0.8 adopt 0.687 gate 0.330;
+         part/box0@keep0.92 adopt 0.683 gate 0.423
+  blocks (full-overlap category pairs, correct incumbents):
+         tube/0 adopt 0.990 gate 1.200; box/0 adopt 1.582 gate 1.130
+
+The adoption margin 0.7 sits 1.44x below the closest block (0.990) and
+just above the wins (0.687) — the thin win-side gap is a real property of
+the round-5 corpus (source-side outliers eat into the trim quantile), so
+a drift of the wins ACROSS the margin is precisely the regression this
+test exists to catch. The se/rev hard pairs are excluded: their wins live
+at the 16^3 rung (complementary-rung design, BASELINE.md r4), which is
+too slow for CPU CI.
+
+Protocol per pair (production-like): incumbent = bench-config solve +
+prefix-fidelity 16^3 escalation when flagged; overlap solve = first rung
+(overlap_config at the base grid); ratios exactly as the ladder computes
+them (escalate.overlap_rerun / parallel.batch.register_many).
 """
 
 from __future__ import annotations
@@ -48,27 +57,29 @@ def populations():
     cfg = KSSICPConfig(
         max_candidates=6, coarse_points=512, coarse_target_points=512,
         refine_candidates=2, refine_tier_iterations=12,
-        refine_max_iterations=48, auto_escalate=False)
+        refine_max_iterations=48,
+        escalate_coarse_points=512, escalate_coarse_target_points=512)
 
-    # Fixed corpus: hard-partial pairs (the overlap tier's genuine wins)
-    # + full-overlap category pairs (the slides/no-ops the margin blocks).
-    hard = partial_corpus(n_points=2000, keep=0.8)
-    full = category_corpus(instances=2, n_points=2000)
-    win_pairs = [hard[i] for i in (0, 2, 4)]      # se0, rev0, box0
-    slide_pairs = [full[i] for i in (0, 2, 4)]    # se/0, rev/0, box/0
+    hard = {p[0]: p for p in partial_corpus(keep=0.8)}
+    part = {p[0]: p for p in partial_corpus()}
+    cat = {p[0]: p for p in category_corpus(instances=2)}
+    win_pairs = [("hard", hard["part/box0"]), ("part", part["part/box0"])]
+    block_pairs = [("cat", cat["tube/0"]), ("cat", cat["box/0"])]
 
-    def solve_ratios(pairs):
+    q = cfg.overlap_trim_fraction
+
+    def solve_ratios(tagged):
         rows = []
-        for name, src, tgt, _gt in pairs:
-            pad = 4096
+        for tag, (name, src, tgt, _gt) in tagged:
+            pad = 8192
             sp = np.zeros((1, pad, 3), np.float32)
             sp[0, : len(src)] = src[:pad]
             sm = np.zeros((1, pad), bool)
-            sm[0, : len(src)] = True
+            sm[0, : min(len(src), pad)] = True
             tp = np.zeros((1, pad, 3), np.float32)
             tp[0, : len(tgt)] = tgt[:pad]
             tm = np.zeros((1, pad), bool)
-            tm[0, : len(tgt)] = True
+            tm[0, : min(len(tgt), pad)] = True
             pn = jnp.asarray(
                 [cfg.resample_count(len(src), len(tgt))], jnp.int32)
             (rs, rsm), (rt, rtm) = resample_pairs(
@@ -76,21 +87,23 @@ def populations():
                 jnp.asarray(tm), pn, cfg)
             a = (rs[0], rsm[0], rt[0], rtm[0])
             inc = register_resampled(*a, cfg)
-            q = cfg.overlap_trim_fraction
+            fit = float(inc.fitness)
+            if fit > cfg.escalate_threshold or bool(inc.refine_hit_cap):
+                inc2 = register_resampled(*a, cfg.escalation_config())
+                if float(inc2.fitness) < fit:
+                    inc, fit = inc2, float(inc2.fitness)
             tf_old = float(trimmed_fitness(inc.transform, *a, q))
-            fit_std = float(inc.fitness)
             ovl = register_overlap_resampled(*a, cfg.overlap_config())
             tf_new = float(ovl.fitness)
             rows.append({
-                "name": name,
+                "name": f"{tag}:{name}",
                 "adopt_ratio": tf_new / max(tf_old, 1e-12),
-                "gate_ratio": tf_old / max(fit_std, 1e-12),
+                "gate_ratio": tf_old / max(fit, 1e-12),
             })
         return rows
 
     return {"win": solve_ratios(win_pairs),
-            "slide": solve_ratios(slide_pairs),
-            "cfg": cfg}
+            "block": solve_ratios(block_pairs)}
 
 
 def test_adoption_margin_sits_in_gap(populations):
@@ -98,16 +111,16 @@ def test_adoption_margin_sits_in_gap(populations):
 
     margin = DEFAULT_CONFIG.overlap_adopt_margin
     win = max(r["adopt_ratio"] for r in populations["win"])
-    slide = min(r["adopt_ratio"] for r in populations["slide"])
+    block = min(r["adopt_ratio"] for r in populations["block"])
     assert win < margin, (
         f"genuine overlap wins no longer adopt: max win ratio {win:.3f} "
         f">= margin {margin} ({populations['win']})")
-    assert slide > margin, (
-        f"full-overlap solves would be overwritten: min slide ratio "
-        f"{slide:.3f} <= margin {margin} ({populations['slide']})")
-    assert slide / win >= SEPARATION, (
-        f"adoption populations too close: {win:.3f} vs {slide:.3f} "
-        f"(separation {slide / win:.2f}x < {SEPARATION}x)")
+    assert block > margin, (
+        f"full-overlap solves would be overwritten: min block ratio "
+        f"{block:.3f} <= margin {margin} ({populations['block']})")
+    assert block / win >= SEPARATION, (
+        f"adoption populations too close: {win:.3f} vs {block:.3f} "
+        f"(separation {block / win:.2f}x < {SEPARATION}x)")
 
 
 def test_gate_ratio_sits_in_gap(populations):
@@ -119,13 +132,13 @@ def test_gate_ratio_sits_in_gap(populations):
     # Well-converged full-overlap solves have uniform (density-floor)
     # error: trimming buys little, the bidirectional sum adds its own
     # floor, so the ratio sits above the gate.
-    floor = min(r["gate_ratio"] for r in populations["slide"])
+    floor = min(r["gate_ratio"] for r in populations["block"])
     assert part < gate, (
         f"partial incumbents no longer pass the crop-signature gate: "
         f"{part:.3f} >= {gate} ({populations['win']})")
     assert floor > gate, (
         f"density-floor pairs would pay the overlap solves every pass: "
-        f"{floor:.3f} <= {gate} ({populations['slide']})")
+        f"{floor:.3f} <= {gate} ({populations['block']})")
     assert floor / part >= SEPARATION, (
         f"gate populations too close: {part:.3f} vs {floor:.3f} "
         f"(separation {floor / part:.2f}x < {SEPARATION}x)")
