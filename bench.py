@@ -59,6 +59,7 @@ def reference_pairs_per_sec() -> tuple[float, str]:
 
 FULL_PAD = 8192
 REPEAT = 3
+ESC_CHUNK = 16     # escalation re-solve chunk width (round-5 probes)
 FAIL_RMSE = 0.05   # unit-scale clouds: success = RMSE below this
 
 
@@ -406,15 +407,21 @@ def main() -> int:
         # chunks are measurably cheaper (2.77 -> 2.08 s steady, r4 probe)
         # and the difficulty sort lets easy chunks exit early.
         ep = cfg.escalate_pad
+        # Escalation chunk 16 (round 5 probes): with the 512-prefix fine
+        # field the pass is launch-bound, and one 16-lane chunk beats two
+        # 8-lane chunks (0.53 vs ~0.6 s steady, per-pair identical). The
+        # overlap/finisher programs stay at the escalate_pad=8 shape.
+        ec = ESC_CHUNK
         merged, fit_all, _, n_flagged = escalate_rerun(
-            resolve, fit_all, cfg.escalate_threshold, pad_multiple=ep,
-            result=(tr_all, hit_all), chunk=ep,
-            cap=((nsat + ep - 1) // ep) * ep, flags=flags)
+            resolve, fit_all, cfg.escalate_threshold, pad_multiple=ec,
+            result=(tr_all, hit_all), chunk=ec,
+            cap=((nsat + ec - 1) // ec) * ec, flags=flags)
         tr_all, hit_all = merged
         hit_all = np.asarray(hit_all).astype(bool)
+        fin_sel = np.nonzero(hit_all)[0]
         if hit_all.any():
             # Uncapped finisher (ADVICE r4): lanes still unconverged after
-            # the keep-better merge — an escalated win that hit the 128 cap,
+            # the keep-better merge — an escalated win that hit the cap,
             # or a capped incumbent the escalation failed to beat — continue
             # warm-started to full convergence through the polish program.
             def finish_resolve(fsel):
@@ -468,10 +475,24 @@ def main() -> int:
             flagged = np.nonzero(flags)[0]
             selp = np.concatenate(
                 [flagged,
-                 np.repeat(flagged[:1], (ep - flagged.size % ep) % ep)])
+                 np.repeat(flagged[:1], (ec - flagged.size % ec) % ec)])
             t0 = time.perf_counter()
-            for c0 in range(0, selp.size, ep):
-                resolve(selp[c0:c0 + ep])
+            for c0 in range(0, selp.size, ec):
+                resolve(selp[c0:c0 + ec])
+            # The finisher launches are part of the steady serving pass too
+            # (they re-fire every pass for lanes the cap leaves unfinished).
+            if fin_sel.size:
+                fselp = np.concatenate(
+                    [fin_sel,
+                     np.repeat(fin_sel[:1], (ep - fin_sel.size % ep) % ep)])
+                for c0 in range(0, fselp.size, ep):
+                    fs = fselp[c0:c0 + ep]
+                    tr_sel = jax.tree.map(
+                        lambda x: jnp.asarray(np.asarray(x)[fs]), tr_all)
+                    out_f = finish_prog(
+                        *map(jnp.asarray, (sp[fs], sm_[fs], tp[fs],
+                                           tm_[fs], pn[fs])), tr_sel, ecfg)
+                    np.asarray(out_f[1])
             esc_steady = time.perf_counter() - t0
         e2e_rate = nsat / (nsat / sat_rate + esc_steady)
         log(f"saturated e2e (batch + steady escalation {esc_steady:.2f}s): "
@@ -591,10 +612,11 @@ def main() -> int:
                 return (o2[0], p2[:, 1] > 0.5), p2[:, 0]
 
             ep = cfg.escalate_pad
+            ec = ESC_CHUNK
             merged_ch, fit_ch, _, esc_n = escalate_rerun(
-                cresolve, fit_ch, cfg.escalate_threshold, pad_multiple=ep,
-                result=(tr_ch, hit_ch), chunk=ep,
-                cap=((n + ep - 1) // ep) * ep,
+                cresolve, fit_ch, cfg.escalate_threshold, pad_multiple=ec,
+                result=(tr_ch, hit_ch), chunk=ec,
+                cap=max(((n + ec - 1) // ec) * ec, ec),
                 flags=(fit_ch > cfg.escalate_threshold) | hit_ch)
             tr_ch, hit_ch = merged_ch
             hit_ch = np.asarray(hit_ch).astype(bool)

@@ -161,25 +161,29 @@ class KSSICPConfig:
     # grid and the better fitness wins. Measured: clears 30/30 stress pairs;
     # golden pairs never trigger, so steady-state throughput is unchanged.
     auto_escalate: bool = True
-    # Fitness gate for the 16^3 re-solve. Measured populations (round 4,
-    # BENCH_PAIRS over the 78-pair serving corpus + challenge): correct
-    # golden/stress solves land at <= 1.5e-3, wrong-basin symmetric
-    # impostors at >= 2.07e-3 (rev/1, box/2 full-converge tables,
-    # scripts/symmetry_experiment.py) — the old 3e-3 gate let those
-    # impostors ship unescalated. 1.8e-3 flags every observed impostor with
-    # margin while golden lanes stay below; the 2-3 remesh pairs sitting at
-    # their density floor (1.9-2.6e-3) re-escalate each run at zero
-    # marginal cost (they join the escalation chunk that already runs) and
-    # keep-better preserves their result.
-    escalate_threshold: float = 1.8e-3
+    # Fitness gate for the 16^3 re-solve. Measured populations (updated
+    # round 5): correct golden/stress solves land at <= 1.50e-3 (golden
+    # max: Horse 1.50e-3), wrong-basin symmetric impostors at >= 1.60e-3 —
+    # the round-5 corpus growth surfaced rev/6, whose converged impostor
+    # sits at 1.600e-3 (base solve, TPU) / 1.62e-3 (escalation-grade
+    # full-converge table, scripts/symmetry_experiment.py), BELOW the old
+    # 1.8e-3 bar (same threshold-blindness class the r4 recalibration
+    # fixed for rev/1 and box/2: the true basin ranks FIRST in the
+    # escalation solve — fitness 5.68e-4, pose 0.019 — it just never ran).
+    # 1.55e-3 sits mid-gap (+3.3% over Horse, -3.1% under rev/6); the gap
+    # is thin, so the challenge board + BENCH_PAIRS per-pair poses are the
+    # drift tripwires. Density-floor remesh pairs (1.9-2.6e-3) re-escalate
+    # each run at zero marginal cost (they join the chunk that already
+    # runs) and keep-better preserves their result.
+    escalate_threshold: float = 1.55e-3
     # The overlap tier triggers at the same bar (measured, round 4: the
     # part/box0 wrong-basin solve sits below 3e-3 on TPU and shipped wrong —
     # a higher overlap bar re-creates exactly the threshold blindness that
     # hid rev/1 and box/2 from escalation). Density-floor pairs between
-    # 1.8e-3 and 3e-3 do pay the overlap solves each run; the margin rule
-    # keeps their results untouched, and the cost is two bounded 8-lane
+    # the bar and 3e-3 do pay the overlap gate probe each run; the margin
+    # rule keeps their results untouched, and the cost is bounded 8-lane
     # launches.
-    overlap_threshold: float = 1.8e-3
+    overlap_threshold: float = 1.55e-3
     escalate_rotation_steps: int = 16
     escalate_max_candidates: int = 16
     # --- Escalation-pass fidelity (round 5; VERDICT r4 item 1) ---
@@ -194,12 +198,19 @@ class KSSICPConfig:
     # ranks; every candidate still gets full-resolution ICP refinement).
     # These knobs set the escalation tier's prefix sizes (0 = full
     # fidelity, the r4 behavior). Contract being beaten: the reference's
-    # exhaustive grid, initRegistrationKSS.hpp:222-296. Values are set by
-    # the round-5 measured ladder (BASELINE.md): per-pair RMSE and
-    # challenge poses must be identical to full fidelity, or the knob
-    # stays 0.
-    escalate_coarse_points: int = 0
-    escalate_coarse_target_points: int = 0
+    # exhaustive grid, initRegistrationKSS.hpp:222-296. Defaults set by
+    # the round-5 measured ladder (scripts/esc_fidelity_probe.py /
+    # esc_tune_probe.py, TPU v5e, 78-pair serving corpus, 14 flagged
+    # lanes): 512/512 cuts the steady escalation pass 2.10 -> 0.78 s with
+    # per-pair RMSE identical-or-better (two lanes IMPROVE: the prefix
+    # field ranks a better basin for Horse/h1 0.0189 -> 0.0104); the
+    # screen-target prefix (1024) was measured and REJECTED (Angel/h1
+    # 0.0187 -> 0.0342), as were the escalation two-tier refine
+    # (Armadillo/h1 0.0068 -> 0.0163) and the hit-only->finisher split
+    # (five hit lanes regress ~2x: the 16^3 re-solve genuinely improves
+    # capped lanes, confirming the r4 hit-fold design).
+    escalate_coarse_points: int = 512
+    escalate_coarse_target_points: int = 512
     escalate_screen_target_points: int = 0
     # Two-tier refine inside the escalation solve (0 = off = full converge
     # on all escalate refine candidates; N > 0 = capped N-iteration ranking
@@ -372,19 +383,24 @@ class KSSICPConfig:
             self,
             rotation_steps=self.escalate_rotation_steps,
             max_candidates=self.escalate_max_candidates,
-            refine_candidates=max(self.refine_candidates, 4),
+            # 3 refine lanes measured per-pair identical to 4 on all 14
+            # flagged serving lanes and ~0.1 s/pass cheaper (r5 probe v2);
+            # 2 was measured and rejected (slower — the screen pays more
+            # than the lane saves — and Bunnyw moves).
+            refine_candidates=max(self.refine_candidates, 3),
             pose_tiebreak_margin=self.escalate_pose_tiebreak,
             coarse_points=self.escalate_coarse_points,
             coarse_target_points=self.escalate_coarse_target_points,
             screen_target_points=self.escalate_screen_target_points,
             refine_tier_iterations=self.escalate_refine_tier_iterations,
             refine_tier_target_points=0,
-            # 128 bounds pathological while_loop tails at ZERO measured
+            # 64 bounds pathological while_loop tails at ZERO measured
             # accuracy cost (r4 probe: per-pair RMSE identical to uncapped
-            # on all 78 serving rows at caps 128/64; hit-capped lanes flow
-            # to the overlap tier). The escalation pass floor (~1.9-2.1 s)
-            # is the 16^3 full-fidelity field + screen, not the tail.
-            refine_max_iterations=128,
+            # at caps 128/64; r5 probe: identical<5e-4 at 64 vs 128 across
+            # all 14 flagged serving lanes, ~0.15 s/pass cheaper; cap 48
+            # moves Horse/h0 — rejected). Hit-capped lanes flow to the
+            # uncapped finisher / overlap tier.
+            refine_max_iterations=64,
             refine_polish_iterations=0,
             auto_escalate=False,
         )

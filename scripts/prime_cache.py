@@ -69,10 +69,10 @@ def main() -> int:
         done.append((f"pipeline batch-{n}", dt))
         log(f"primed pipeline batch-{n}: {dt:.1f}s")
     t0 = time.perf_counter()
-    pipeline.lower(*shapes(cfg.escalate_pad), ecfg).compile()
+    pipeline.lower(*shapes(bench.ESC_CHUNK), ecfg).compile()
     dt = time.perf_counter() - t0
-    done.append((f"escalation pipeline batch-{cfg.escalate_pad}", dt))
-    log(f"primed escalation pipeline batch-{cfg.escalate_pad}: {dt:.1f}s")
+    done.append((f"escalation pipeline batch-{bench.ESC_CHUNK}", dt))
+    log(f"primed escalation pipeline batch-{bench.ESC_CHUNK}: {dt:.1f}s")
 
     # Measure program (transform is a Similarity pytree).
     from kss_icp_tpu.core.transforms import Similarity
