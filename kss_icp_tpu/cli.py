@@ -468,6 +468,22 @@ def _view(args) -> int:
     return 0
 
 
+def _largescan(args) -> int:
+    """Room-class end-to-end benchmark (kss_icp_tpu/largescan.py): prints
+    one JSON dict with per-stage wall times, full-res RMSE, pose error and
+    the metric stage's achieved TFLOP/s."""
+    import json
+
+    _apply_platform(args)
+    from kss_icp_tpu.largescan import run_largescan
+
+    out = run_largescan(n_points=args.points,
+                        pre_downsample=args.pre_downsample,
+                        seed=args.seed, repeats=args.repeats)
+    print(json.dumps(out))
+    return 0
+
+
 def _serve(args) -> int:
     """Warm-program JSONL registration server.
 
@@ -608,6 +624,21 @@ def main(argv=None) -> int:
                    help="write the per-pair table + summary as JSON")
     add_common(p)
     p.set_defaults(fn=_bench_dir)
+
+    p = sub.add_parser(
+        "largescan",
+        help="Room/block-class large-scan benchmark (octree -> register -> "
+             "full-res metric; reference protocol EXE/start_Cuda.bat + "
+             "Method_Octree.hpp:16-108)")
+    p.add_argument("-n", "--points", type=int, default=200_000,
+                   help="points per synthetic room scan")
+    p.add_argument("--pre-downsample", type=int, default=80_000,
+                   help="octree target working-set size (Method_Octree.hpp:16)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--repeats", type=int, default=1,
+                   help="timed passes after the compile run")
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=_largescan)
 
     p = sub.add_parser("serve", help="JSONL registration server on stdin/stdout")
     p.add_argument("--full-pad", type=int, default=8192,
