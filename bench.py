@@ -125,6 +125,7 @@ def make_programs():
     from kss_icp_tpu.core.transforms import apply_similarity
     from kss_icp_tpu.metrics import registration_measure_padded
     from kss_icp_tpu.models.kss_icp import (
+        overlap_screen_solve_batch,
         overlap_solve_batch,
         polish_resampled,
         register_resampled,
@@ -198,6 +199,13 @@ def make_programs():
         return jax.vmap(one)(rs, rsm, rt, rtm, tr)
 
     @partial(jax.jit, static_argnames=("cfg",))
+    def overlap_screen(sp, sm_, tp, tm_, pn, tr, cfg):
+        # Screen-seeded overlap rung (round 5, rung 3) — same pre-gathered
+        # chunk contract as `overlap`.
+        (rs, rsm), (rt, rtm) = resample_pairs(sp, sm_, tp, tm_, pn, cfg)
+        return overlap_screen_solve_batch(rs, rsm, rt, rtm, tr, cfg)
+
+    @partial(jax.jit, static_argnames=("cfg",))
     def overlap(sp, sm_, tp, tm_, pn, tr, cfg):
         # Overlap-tier resolve (escalate.overlap_rerun contract). Inputs are
         # PRE-GATHERED flagged rows (the host slices before the call) so the
@@ -211,7 +219,8 @@ def make_programs():
         (rs, rsm), (rt, rtm) = resample_pairs(sp, sm_, tp, tm_, pn, cfg)
         return overlap_solve_batch(rs, rsm, rt, rtm, tr, cfg)
 
-    return pipeline, measure_all, polish, overlap, trimmed_probe, finish
+    return (pipeline, measure_all, polish, overlap, trimmed_probe, finish,
+            overlap_screen)
 
 
 def load_pairs():
@@ -270,7 +279,7 @@ def main() -> int:
         return sp, sm, tp, tm, pn
 
     (pipeline, measure_all, polish, overlap_prog, trimmed_probe,
-     finish_prog) = make_programs()
+     finish_prog, overlap_screen_prog) = make_programs()
 
     def overlap_flags(fit_arr, tr_np, arrays, c):
         """(fitness > overlap_threshold) AND crop-signature ratio below the
@@ -443,14 +452,20 @@ def main() -> int:
         # adopted by the bidirectional trimmed-fitness margin. Chunked at
         # escalate_pad (8) so each heavy program compiles one small shape.
         if cfg.overlap_escalate:
-            for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
+            rungs = [(cfg.overlap_config(), overlap_prog, "field"),
+                     (ecfg.overlap_config(), overlap_prog, "field")]
+            if cfg.overlap_screen_rung:
+                rungs.append(
+                    (cfg.overlap_config(), overlap_screen_prog, "screen"))
+            for ocfg, oprog, otag in rungs:
                 oflags = overlap_flags(fit_all, tr_all, (sp, sm_, tp, tm_, pn),
                                        cfg)
 
-                def oresolve(sel, _a=(sp, sm_, tp, tm_, pn), _oc=ocfg):
+                def oresolve(sel, _a=(sp, sm_, tp, tm_, pn), _oc=ocfg,
+                             _p=oprog):
                     tr_sel = jax.tree.map(
                         lambda x: jnp.asarray(np.asarray(x)[sel]), tr_all)
-                    return overlap_prog(
+                    return _p(
                         *[jnp.asarray(x[sel]) for x in _a], tr_sel, _oc)
 
                 tr_all, fit_all, owins, o_flagged = overlap_rerun(
@@ -458,8 +473,8 @@ def main() -> int:
                     cfg.escalate_pad, cfg.overlap_adopt_margin,
                     result=tr_all, chunk=cfg.escalate_pad, flags=oflags)
                 if o_flagged:
-                    log(f"overlap rung {_short_cfg(ocfg)}: {o_flagged} "
-                        f"flagged, {len(owins)} adopted")
+                    log(f"overlap rung {otag} {_short_cfg(ocfg)}: "
+                        f"{o_flagged} flagged, {len(owins)} adopted")
         esc_dt = time.perf_counter() - t0
         rm_all = measure_chunked(tr_all, sp, sm_, tp, tm_)
         log(f"saturated batch: {nsat} pairs, escalated={n_flagged} "
@@ -633,17 +648,24 @@ def main() -> int:
 
             if cfg.overlap_escalate:
                 # Overlap tier — the pass that carries the partial
-                # (RGB-D-analogue) scenario (VERDICT r3 item 1); two rungs
-                # as in the saturated section.
-                for ocfg_ch in (cfg.overlap_config(), ecfg.overlap_config()):
+                # (RGB-D-analogue) scenario (VERDICT r3 item 1); three
+                # rungs as in the saturated section (field 8^3/16^3 +
+                # round-5 screen-seeded).
+                rungs_ch = [(cfg.overlap_config(), overlap_prog, "field"),
+                            (ecfg.overlap_config(), overlap_prog, "field")]
+                if cfg.overlap_screen_rung:
+                    rungs_ch.append(
+                        (cfg.overlap_config(), overlap_screen_prog,
+                         "screen"))
+                for ocfg_ch, oprog_ch, otag_ch in rungs_ch:
                     oflags = overlap_flags(
                         fit_ch, tr_ch, (csp, csm, ctp, ctm, cpn), cfg)
 
                     def coresolve(sel, _a=(csp, csm, ctp, ctm, cpn),
-                                  _oc=ocfg_ch):
+                                  _oc=ocfg_ch, _p=oprog_ch):
                         tr_sel = jax.tree.map(
                             lambda x: jnp.asarray(np.asarray(x)[sel]), tr_ch)
-                        return overlap_prog(
+                        return _p(
                             *[jnp.asarray(x[sel]) for x in _a], tr_sel, _oc)
 
                     tr_ch, fit_ch, owins_ch, o_fl = overlap_rerun(
@@ -651,7 +673,7 @@ def main() -> int:
                         cfg.escalate_pad, cfg.overlap_adopt_margin,
                         result=tr_ch, chunk=cfg.escalate_pad, flags=oflags)
                     if o_fl:
-                        log(f"challenge/{scenario} overlap rung "
+                        log(f"challenge/{scenario} overlap rung {otag_ch} "
                             f"{_short_cfg(ocfg_ch)}: {o_fl} flagged, "
                             f"{len(owins_ch)} adopted")
             errs = np.asarray([

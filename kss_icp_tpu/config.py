@@ -269,6 +269,29 @@ class KSSICPConfig:
     # throughput and accuracy are untouched.
     overlap_escalate: bool = True
     overlap_adopt_margin: float = 0.7
+    # --- Screen-seeded overlap rung (round 5; the third rung) ---
+    # Under heavy crops the rotation-only trimmed field is the wrong
+    # candidate selector (the biased pre-shape t/s can make the TRUE
+    # rotation score worse than every field minimum — measured on
+    # part/se1, scripts/se1_truth_seed_probe.py), while the trimmed
+    # similarity ICP's attraction basin still contains nearby grid
+    # vertices. The third rung screens EVERY 8^3 rotation with a short
+    # trimmed ICP (each seed corrects its own t/s before being judged),
+    # ranks by bidirectional trimmed fitness, and fully converges the top
+    # few (models/kss_icp.register_overlap_screen_resampled). Adoption is
+    # margin-gated like the other rungs — wrong screen solves have ~3x
+    # worse bidirectional trimmed fitness than correct incumbents and
+    # never adopt (measured over the full hard tier,
+    # scripts/se1_screen_seed_probe.py).
+    overlap_screen_rung: bool = True
+    overlap_screen_steps: int = 8
+    overlap_screen_iters: int = 8
+    overlap_screen_topk: int = 3
+    # Rotations per lax.map step. Memory bound: the bidirectional-trim
+    # scoring materializes a (2048, 2048) block per in-flight rotation,
+    # and a vmapped 8-lane rung multiplies that by the lane count —
+    # 16 x 8 lanes x 16.8 MB ~= 2.2 GB peak.
+    overlap_screen_batch: int = 16
     # Crop-signature pre-gate: the overlap rungs only launch for flagged
     # pairs whose (bidirectional trimmed fitness) / (standard fitness)
     # ratio is BELOW this — a heavy error tail, the signature of a crop or

@@ -456,6 +456,150 @@ def register_overlap_resampled(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def register_overlap_screen_resampled(
+    source_points: jnp.ndarray,
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+) -> RegistrationResult:
+    """Screen-seeded overlap solve — the third overlap rung (round 5).
+
+    Why it exists (measured, scripts/se1_*_probe.py): under heavy crops
+    the rotation-only trimmed FIELD is the wrong candidate selector — the
+    crop-biased pre-shape misplaces translation/scale, so the field error
+    at the TRUE rotation can exceed every local minimum's (part/se1:
+    field 0.097 at truth vs 0.057-0.093 candidates) even though the
+    trimmed ICP's attraction basin contains grid vertices 9-18 deg away
+    (nearest 8^3 vertex converges to pose 0.029). The fix: skip the field
+    and SCREEN every grid rotation with a short trimmed similarity ICP
+    (cfg.overlap_screen_iters iterations on the 512-point FPS prefix —
+    each seed corrects its own t/s before being judged), score each
+    screened pose by BIDIRECTIONAL trimmed fitness on the full clouds,
+    and fully converge only the top cfg.overlap_screen_topk.
+
+    Complementary to the field rungs, not a replacement: on the hard
+    (~60% overlap) tier it solves part/se1 (0.334 -> 0.068 pose) and
+    rev0/tube1/box pairs, but loses se0/rev1 which the 16^3 field rungs
+    solve — the margin-gated adoption keeps the best of both (a wrong
+    screen solve has 3x worse bidirectional trimmed fitness than a
+    correct incumbent and never adopts).
+
+    Returns the best pose with fitness = its bidirectional trimmed
+    fitness (compare only under escalate.overlap_rerun's margin rule).
+    """
+    from kss_icp_tpu.ops.nn import nearest_neighbor, trimmed_masked_mean
+
+    ocfg = cfg if cfg.overlap_mode else cfg.overlap_config()
+    q = ocfg.overlap_trim_fraction
+    dtype = source_points.dtype
+
+    sim0, _, _ = middle_align(source_points, source_mask,
+                              target_points, target_mask)
+    src_al = apply_similarity(sim0, source_points)
+
+    from kss_icp_tpu.models.coarse import rotation_grid
+    from kss_icp_tpu.models.icp import ICPParams, icp
+
+    grid = rotation_grid(cfg.overlap_screen_steps, ocfg.angle_span, dtype)
+    rots = euler_xyz_matrix(grid)
+    params = ICPParams.from_config(ocfg, dtype)
+    sparams = params._replace(
+        max_iterations=jnp.asarray(cfg.overlap_screen_iters, jnp.int32))
+
+    sp_n = min(cfg.screen_points, source_points.shape[0])
+    pre = src_al[:sp_n]
+    prem = source_mask[:sp_n]
+
+    on_tpu = jax.default_backend() == "tpu"
+    nn_backend = "pallas" if on_tpu else "xla"
+
+    def screen_one(r):
+        rot = pre @ r.T
+        res = icp(rot, prem, target_points, target_mask, sparams,
+                  precision=ocfg.screen_precision,
+                  nn_backend=nn_backend,
+                  trim_fraction=ocfg.icp_trim_fraction,
+                  estimate_scale=True)
+        full = (res.scale * ((src_al @ r.T) @ res.rotation.T)
+                + res.translation)
+        d2, _ = nearest_neighbor(full, target_points, target_mask)
+        fwd = trimmed_masked_mean(d2, source_mask, q)
+        d2r, _ = nearest_neighbor(target_points, full, source_mask)
+        rev = trimmed_masked_mean(d2r, target_mask, q)
+        return fwd + rev, res.rotation, res.translation, res.scale
+
+    tfit_all, sR, sT, sS = jax.lax.map(
+        screen_one, rots, batch_size=cfg.overlap_screen_batch)
+
+    k = min(cfg.overlap_screen_topk, rots.shape[0])
+    top = jnp.argsort(tfit_all)[:k]
+
+    def converge_one(ki):
+        r = rots[ki]
+        rot_src = src_al @ r.T
+        res = icp(rot_src, source_mask, target_points, target_mask, params,
+                  precision=ocfg.icp_precision,
+                  trim_fraction=ocfg.icp_trim_fraction,
+                  estimate_scale=True)
+        icp_sim = Similarity(scale=res.scale, rotation=res.rotation,
+                             translation=res.translation)
+        tot = compose(icp_sim, compose(
+            Similarity.from_rigid(r, jnp.zeros((3,), dtype)), sim0))
+        tb = trimmed_fitness(tot, source_points, source_mask,
+                             target_points, target_mask, q)
+        return tot, tb, res.iterations
+
+    tots, tbs, iters = jax.vmap(converge_one)(top)
+    best = jnp.argmin(tbs)
+    tot = jax.tree.map(lambda x: x[best], tots)
+    coarse = CoarseResult(
+        field=jnp.zeros((1, 1, 1), dtype),
+        best_angles=grid[top[best]],
+        candidate_angles=grid[top],
+        candidate_mask=jnp.ones((k,), bool),
+        candidate_errors=tbs,
+    )
+    return RegistrationResult(
+        transform=tot,
+        fitness=tbs[best],
+        judge_fitness=tbs[best],
+        used_multistart=jnp.asarray(True),
+        chosen_candidate=top[best],
+        icp_iterations=iters[best],
+        refine_hit_cap=jnp.asarray(False),
+        coarse=coarse,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def overlap_screen_solve_batch(
+    source_points: jnp.ndarray,   # (B, P, 3) resampled
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    baseline: Similarity,         # (B,) incumbent transforms
+    cfg: KSSICPConfig = DEFAULT_CONFIG,
+):
+    """Batched screen-seeded overlap rung (escalate.overlap_rerun
+    contract, mirroring overlap_solve_batch)."""
+    from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
+
+    ocfg = cfg if cfg.overlap_mode else cfg.overlap_config()
+    q = ocfg.overlap_trim_fraction
+
+    def one(spi, smi, tpi, tmi, tr0):
+        r = register_overlap_screen_resampled(spi, smi, tpi, tmi, cfg)
+        tf_old = trimmed_fitness(tr0, spi, smi, tpi, tmi, q)
+        aligned = apply_similarity(r.transform, spi)
+        fit_std = masked_mean_nn_sqdist(aligned, smi, tpi, tmi)
+        return r.transform, fit_std, r.fitness, tf_old
+
+    return jax.vmap(one)(source_points, source_mask, target_points,
+                         target_mask, baseline)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def overlap_solve_batch(
     source_points: jnp.ndarray,   # (B, P, 3) resampled
     source_mask: jnp.ndarray,
@@ -741,8 +885,16 @@ def register_pair(
             from kss_icp_tpu.ops.nn import masked_mean_nn_sqdist
 
             a = (src_pts[0], src_mask[0], tgt_pts[0], tgt_mask[0])
-            for ocfg in (cfg.overlap_config(),
-                         cfg.escalation_config().overlap_config()):
+            rungs = [(cfg.overlap_config(), register_overlap_resampled),
+                     (cfg.escalation_config().overlap_config(),
+                      register_overlap_resampled)]
+            if cfg.overlap_screen_rung:
+                # Third rung (round 5): screen-seeded overlap solve — the
+                # field rungs' selector fails under heavy crops (see
+                # register_overlap_screen_resampled).
+                rungs.append((cfg.overlap_config(),
+                              register_overlap_screen_resampled))
+            for ocfg, solver in rungs:
                 q = ocfg.overlap_trim_fraction
                 tf_old = float(trimmed_fitness(res.transform, *a, q))
                 # Crop-signature gate (KSSICPConfig.overlap_gate_ratio):
@@ -750,7 +902,7 @@ def register_pair(
                 # heavy tail (full-overlap density floor).
                 if tf_old >= cfg.overlap_gate_ratio * float(res.fitness):
                     continue
-                res_o = register_overlap_resampled(*a, ocfg)
+                res_o = solver(*a, ocfg)
                 tf_new = float(res_o.fitness)
                 if tf_new < cfg.overlap_adopt_margin * tf_old:
                     aligned = apply_similarity(res_o.transform, a[0])

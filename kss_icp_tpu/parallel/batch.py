@@ -74,7 +74,7 @@ def register_batch(
     return _vmapped(cfg)(source_points, source_mask, target_points, target_mask)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh", "pair_axis"))
+@partial(jax.jit, static_argnames=("cfg", "mesh", "pair_axis", "solver"))
 def overlap_batch(
     source_points: jnp.ndarray,   # (B, P, 3) resampled
     source_mask: jnp.ndarray,
@@ -84,17 +84,24 @@ def overlap_batch(
     cfg: KSSICPConfig = DEFAULT_CONFIG,
     mesh: Optional[Mesh] = None,
     pair_axis: str = "pairs",
+    solver: str = "field",
 ):
     """Overlap-tier resolve sharded over the pairs mesh (VERDICT r4 item 5):
     the escalation ladder's heaviest stage must not pin to one device on a
     pod. Same contract as models/kss_icp.overlap_solve_batch; falls back to
-    the unmeshed program when B does not divide the axis."""
-    from kss_icp_tpu.models.kss_icp import overlap_solve_batch
+    the unmeshed program when B does not divide the axis. solver picks the
+    rung: "field" (trimmed-field candidates, rungs 1-2) or "screen" (the
+    round-5 screen-seeded rung 3)."""
+    from kss_icp_tpu.models.kss_icp import (
+        overlap_screen_solve_batch,
+        overlap_solve_batch,
+    )
 
+    solve = overlap_solve_batch if solver == "field" else overlap_screen_solve_batch
     if mesh is not None and source_points.shape[0] % mesh.shape[pair_axis] == 0:
         spec = P(pair_axis)
         fn = jax.shard_map(
-            partial(overlap_solve_batch, cfg=cfg),
+            partial(solve, cfg=cfg),
             mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec),
             out_specs=(spec, spec, spec, spec),
@@ -102,8 +109,8 @@ def overlap_batch(
         )
         return fn(source_points, source_mask, target_points, target_mask,
                   baseline)
-    return overlap_solve_batch(source_points, source_mask, target_points,
-                               target_mask, baseline, cfg)
+    return solve(source_points, source_mask, target_points,
+                 target_mask, baseline, cfg)
 
 
 def register_many(
@@ -308,14 +315,18 @@ def register_many(
                         out[gi] = True
                 return out
 
-            for ocfg in (cfg.overlap_config(), ecfg.overlap_config()):
-                def oresolve(sel, _oc=ocfg):
+            rungs = [(cfg.overlap_config(), "field"),
+                     (ecfg.overlap_config(), "field")]
+            if cfg.overlap_screen_rung:
+                rungs.append((cfg.overlap_config(), "screen"))
+            for ocfg, osolver in rungs:
+                def oresolve(sel, _oc=ocfg, _sv=osolver):
                     sel_j = jnp.asarray(sel)
                     tr_sel = jax.tree.map(
                         lambda x: jnp.asarray(x)[sel_j], res.transform)
                     return overlap_batch(
                         sp[sel_j], sm[sel_j], tp[sel_j], tm[sel_j],
-                        tr_sel, _oc, mesh=mesh)
+                        tr_sel, _oc, mesh=mesh, solver=_sv)
 
                 tr_np, fit, _, _ = overlap_rerun(
                     oresolve, res.fitness, cfg.overlap_threshold,

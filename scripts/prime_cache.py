@@ -48,7 +48,8 @@ def main() -> int:
         nsat = None
     cfg = bench.bench_config()
     ecfg = cfg.escalation_config()
-    pipeline, measure_all, polish, overlap, trimmed_probe, finish = bench.make_programs()
+    (pipeline, measure_all, polish, overlap, trimmed_probe, finish,
+     overlap_screen) = bench.make_programs()
 
     f32 = jax.ShapeDtypeStruct
     P = bench.FULL_PAD
@@ -145,6 +146,13 @@ def main() -> int:
             tag = f"overlap {ocfg.rotation_steps}^3 batch-{k}"
             done.append((tag, dt))
             log(f"primed {tag}: {dt:.1f}s")
+        if cfg.overlap_screen_rung:
+            t0 = time.perf_counter()
+            overlap_screen.lower(*shapes(k), tr_k,
+                                 cfg.overlap_config()).compile()
+            dt = time.perf_counter() - t0
+            done.append((f"overlap screen rung batch-{k}", dt))
+            log(f"primed overlap screen rung batch-{k}: {dt:.1f}s")
 
     if "--entry" in sys.argv:
         import __graft_entry__ as g
