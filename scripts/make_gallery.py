@@ -31,6 +31,12 @@ def main() -> int:
                     help="render the procedural challenge corpus "
                          "(kss_icp_tpu/challenge.py) instead of a "
                          ".gird/.wlop directory")
+    ap.add_argument("--hard", action="store_true",
+                    help="with --challenge: include the ~60%%-overlap "
+                         "hard tier")
+    ap.add_argument("--largescan", action="store_true",
+                    help="render the Room-class 100k scan pair "
+                         "(kss_icp_tpu/largescan.py)")
     args = ap.parse_args()
 
     if args.platform:
@@ -51,11 +57,22 @@ def main() -> int:
     data = Path(args.data_dir)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if args.challenge:
+    if args.largescan:
+        from kss_icp_tpu.largescan import room_pair
+
+        src_r, tgt_r, _gt = room_pair(100_000, seed=0)
+        c = tgt_r.mean(axis=0)
+        sc = float(np.abs(tgt_r - c).max())
+        pairs = {"largescan_room": (((src_r - c) / sc).astype(np.float32),
+                                    ((tgt_r - c) / sc).astype(np.float32))}
+        models = sorted(pairs)
+        args.challenge = True  # reuse the in-memory pair path below
+    elif args.challenge:
         from kss_icp_tpu.challenge import challenge_corpus
 
         pairs = {f"{scen}_{nm.replace('/', '_')}": (s, t)
-                 for scen, ps, _thr in challenge_corpus()
+                 for scen, ps, _thr in challenge_corpus(
+                     include_hard=args.hard)
                  for nm, s, t, _gt in ps}
         models = args.models or sorted(pairs)
     else:
@@ -78,6 +95,11 @@ def main() -> int:
 
         tb = Trackball()
         tb.drag(0.0, 0.0, 0.5, 0.25)
+        if len(src) > 30000:   # bound the z-buffer renderer's work
+            src = src[:: len(src) // 30000 + 1]
+            aligned = aligned[:: len(aligned) // 30000 + 1]
+        if len(tgt) > 30000:
+            tgt = tgt[:: len(tgt) // 30000 + 1]
         panels = [
             render_clouds([tgt, src], size=(400, 400)),
             render_clouds([tgt, np.zeros((0, 3)), aligned], size=(400, 400)),
