@@ -449,9 +449,25 @@ def _measure_resample(args) -> int:
 
 def _view(args) -> int:
     """Render a registration overlay PNG — the headless "Show Result" window
-    (Main_KSS_ICP.cpp:1-14 viewer mode, View.h)."""
+    (Main_KSS_ICP.cpp:1-14 viewer mode, View.h). With --interactive, run
+    the terminal trackball loop instead (viz/interactive.py — the
+    reference's GLUT drag UI, keyboard-mapped)."""
     from kss_icp_tpu.io.formats import load_points
     from kss_icp_tpu.viz import Trackball, render_registration
+
+    if getattr(args, "interactive", False):
+        import numpy as np
+
+        from kss_icp_tpu.viz.interactive import run_interactive
+
+        clouds = [load_points(args.target)]
+        if args.source:
+            clouds.append(load_points(args.source))
+        else:
+            clouds.append(np.zeros((0, 3), np.float32))
+        if args.aligned:
+            clouds.append(load_points(args.aligned))
+        return run_interactive(clouds)
 
     tb = Trackball()
     if args.spin:
@@ -695,6 +711,10 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=800)
     p.add_argument("--spin", type=float, default=0.0,
                    help="trackball drag magnitude for an off-axis view")
+    p.add_argument("--interactive", action="store_true",
+                   help="interactive terminal viewer (arrow-key trackball, "
+                        "ANSI half-block rendering) instead of a PNG — the "
+                        "reference's GLUT drag loop, View.h:1-22")
     p.set_defaults(fn=_view)
 
     args = parser.parse_args(argv)
