@@ -175,6 +175,18 @@ class KSSICPConfig:
     # drift tripwires. Density-floor remesh pairs (1.9-2.6e-3) re-escalate
     # each run at zero marginal cost (they join the chunk that already
     # runs) and keep-better preserves their result.
+    # KNOWN LIMIT (measured, round 5): the populations CROSS across
+    # platforms — se/7's wrong-basin solve converges at 1.496e-3 on CPU
+    # (below Horse's correct 1.50e-3) but 1.887e-3 on TPU, so no absolute
+    # value separates everywhere; on TPU (the production platform) every
+    # one of the 19 wrong base solves in the round-5 population study
+    # flags at this bar (scripts/floor_gate_probe.py). A density-
+    # normalized gate (fitness / self-NN floor) was measured and REJECTED
+    # — it separates WORSE (wrong solves on bumpy instances land at ratio
+    # 0.63, below most correct solves); the base-pipeline pose tiebreak
+    # was also measured and does not recover the CPU case (the true basin
+    # is not among the base refine candidates). Recorded honestly in the
+    # BASELINE.md cross-platform table.
     escalate_threshold: float = 1.55e-3
     # The overlap tier triggers at the same bar (measured, round 4: the
     # part/box0 wrong-basin solve sits below 3e-3 on TPU and shipped wrong —
