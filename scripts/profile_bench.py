@@ -67,8 +67,24 @@ def main() -> int:
                        for m1, m2 in zip(sm, tm)], np.int32)
         return tuple(map(jnp.asarray, (sp, sm, tp, tm, pn)))
 
+    # Round 5: also profile the escalation chunk (the e2e serving
+    # bottleneck this round cut 2.1 -> ~0.5 s) — the 16 flagged lanes of
+    # the saturated corpus through the escalation config.
+    a78 = batch_arrays(allp)
+    packed = np.asarray(pipeline(*a78, cfg)[1])
+    flags = (packed[:, 0] > cfg.escalate_threshold) | (packed[:, 1] > 0.5)
+    fsel = np.nonzero(flags)[0]
+    fsel = np.concatenate(
+        [fsel, np.repeat(fsel[:1],
+                         (bench.ESC_CHUNK - fsel.size % bench.ESC_CHUNK)
+                         % bench.ESC_CHUNK)])[:bench.ESC_CHUNK]
+    esc_pairs = [allp[i] for i in fsel]
+    ecfg = cfg.escalation_config()
+
     summaries = {}
-    for label, corpus in (("b23", golden), ("b78", allp)):
+    for label, corpus, ccfg in (("b23", golden, cfg), ("b78", allp, cfg),
+                                ("esc16", esc_pairs, ecfg)):
+        cfg = ccfg
         a = batch_arrays(corpus)
         # warm up (compile + one steady run)
         t0 = time.perf_counter()
