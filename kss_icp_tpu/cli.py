@@ -44,6 +44,13 @@ def _cfg_from_args(args):
     # `escalate=None` defers to it).
     if getattr(args, "escalate", None) is not None:
         kw["auto_escalate"] = args.escalate
+    if getattr(args, "precise", False):
+        # Winner-neighborhood precision restarts (round 5): re-converge
+        # from +-1/4 and +-1/2 grid-step Euler offsets of the winning
+        # pose, keep-better by fitness — recovers narrow-basin converge
+        # points the grid multi-start misses (tube/1: pose 0.117 ->
+        # 0.051; KSSICPConfig.neighborhood_fracs).
+        kw["neighborhood_fracs"] = (0.25, 0.5)
     cfg = KSSICPConfig(**kw)
     if getattr(args, "overlap", False):
         # Explicit overlap-robust mode for partially-overlapping scans
@@ -577,6 +584,11 @@ def main(argv=None) -> int:
                             "scans (trimmed coarse field + trimmed "
                             "similarity ICP + iterated inlier pre-shape)")
         p.add_argument("--max-candidates", type=int, default=32)
+        p.add_argument("--precise", action="store_true",
+                       help="winner-neighborhood precision restarts "
+                            "(12 extra warm-started converges around the "
+                            "winning pose; slower, tighter poses on "
+                            "narrow-basin shapes)")
         p.add_argument("--platform", default=None,
                        help="JAX backend override (cpu, tpu, ...)")
         p.add_argument("--log-json", default=None, metavar="FILE",

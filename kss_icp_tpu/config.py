@@ -315,6 +315,21 @@ class KSSICPConfig:
     # serving pass (0.67 + 2.9 s/chunk).
     overlap_gate_ratio: float = 1.05
 
+    # --- Winner-neighborhood precision polish (no reference analogue) ---
+    # Narrow-basin instances can hide a better converge point INSIDE the
+    # winning basin's grid cell: tube/1 ships at fitness 1.22e-3 / pose
+    # 0.117 while restarts at ±{1/4, 1/2} grid-step Euler offsets around
+    # the winner converge to 9.75e-4 / 0.051 (round-5 measurement,
+    # /tmp/tube1_nbr protocol) — a basin even the 16^3 escalation grid's
+    # candidates miss (its fitness sits below the escalation bar, so no
+    # ladder tier can reach it). When non-empty, each fraction f adds 6
+    # warm-started full re-converges (±f·step per Euler axis) after the
+    # final converge, keep-better by fitness. OFF by default: the serving
+    # configs value the ~6 extra full-res lanes/pair more than the
+    # precision tail; enable via CLI --precise or in precision-critical
+    # pipelines.
+    neighborhood_fracs: tuple = ()
+
     # --- Symmetric-pose tie-break (no reference analogue) ---
     # On near-symmetric shapes several multi-start basins converge to
     # near-tied fitness (mean squared NN distance) while only one has the

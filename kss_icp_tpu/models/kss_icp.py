@@ -248,9 +248,17 @@ def register_resampled(
                                  translation=res.translation)
             cand_sim = Similarity.from_rigid(r_cand[choice], jnp.zeros((3,), dtype))
             total = compose(icp_sim, compose(cand_sim, sim0))
+            fitness_t = res.fitness
+            if cfg.neighborhood_fracs:
+                # Precision mode: restarts run UNCAPPED (params, not the
+                # capped refine_params) — the whole point is converging
+                # the narrow basin fully.
+                total, fitness_t = _neighborhood_polish(
+                    total, fitness_t, source_points, source_mask,
+                    target_points, target_mask, params, cfg)
             return RegistrationResult(
                 transform=total,
-                fitness=res.fitness,
+                fitness=fitness_t,
                 judge_fitness=judge_a,
                 used_multistart=judge_a > cfg.multistart_fitness_gate,
                 chosen_candidate=choice,
@@ -311,9 +319,15 @@ def register_resampled(
     )
     total = compose(icp_sim, compose(cand_sim, sim0))
 
+    fitness_t = fit[local]
+    if cfg.neighborhood_fracs:
+        total, fitness_t = _neighborhood_polish(
+            total, fitness_t, source_points, source_mask,
+            target_points, target_mask, params, cfg)
+
     return RegistrationResult(
         transform=total,
-        fitness=fit[local],
+        fitness=fitness_t,
         judge_fitness=judge_fitness,
         used_multistart=jnp.logical_not(use_best),
         chosen_candidate=choice,
@@ -324,6 +338,57 @@ def register_resampled(
         coarse=coarse,
     )
 
+
+
+def _neighborhood_polish(
+    total: Similarity,
+    fitness: jnp.ndarray,
+    source_points: jnp.ndarray,
+    source_mask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    params,
+    cfg: KSSICPConfig,
+):
+    """Winner-neighborhood precision restarts
+    (KSSICPConfig.neighborhood_fracs): re-converge from small Euler
+    perturbations of the WINNING pose and keep the best fitness. Exists
+    for narrow-basin instances whose best converge point hides inside the
+    winner's grid cell (tube/1: fitness 1.22e-3 -> 9.75e-4, pose 0.117 ->
+    0.051 with fracs (0.25, 0.5)); a pure keep-better, so it can only
+    improve fitness."""
+    from kss_icp_tpu.models.icp import icp
+
+    step = cfg.angle_span / cfg.rotation_steps
+    offs = []
+    for f in cfg.neighborhood_fracs:
+        for ax in range(3):
+            for sgn in (-1.0, 1.0):
+                o = [0.0, 0.0, 0.0]
+                o[ax] = sgn * f * step
+                offs.append(o)
+    ro = euler_xyz_matrix(jnp.asarray(offs, source_points.dtype))
+
+    def one(r_off):
+        pert = Similarity(scale=total.scale,
+                          rotation=r_off @ total.rotation,
+                          translation=total.translation)
+        cur = apply_similarity(pert, source_points)
+        r2 = icp(cur, source_mask, target_points, target_mask, params,
+                 precision=cfg.icp_precision,
+                 trim_fraction=cfg.icp_trim_fraction,
+                 estimate_scale=cfg.icp_estimate_scale)
+        tot2 = compose(Similarity(scale=r2.scale, rotation=r2.rotation,
+                                  translation=r2.translation), pert)
+        return tot2, r2.fitness
+
+    tots, fits = jax.vmap(one)(ro)
+    k = jnp.argmin(fits)
+    better = fits[k] < fitness
+    best = jax.tree.map(lambda x: x[k], tots)
+    total2 = jax.tree.map(
+        lambda a, b: jnp.where(better, a, b), best, total)
+    return total2, jnp.minimum(fits[k], fitness)
 
 
 def _pose_tiebreak_select(
